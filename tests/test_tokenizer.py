@@ -1,0 +1,96 @@
+"""CLIP BPE tokenizer tests.
+
+Pattern from reference StableDiffusionTests.swift:27-49 (golden token IDs).
+Real CLIP vocab files are not bundled (no network in CI), so we build a small
+synthetic vocab and additionally check exact parity against transformers'
+slow CLIPTokenizer over the same files.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from ml_stable_diffusion_tpu.tokenizer import CLIPTokenizer
+
+
+def _toy_vocab_files(tmp_path):
+    # character-level vocab + word-piece merges for a tiny corpus
+    chars = list("abcdefghijklmnopqrstuvwxyz ")
+    tokens = []
+    for c in chars:
+        tokens.append(c)
+        tokens.append(c + "</w>")
+    merges = [
+        ("h", "e"), ("l", "l"), ("he", "ll"), ("o</w>", ""),  # placeholder
+    ]
+    # Build realistic merges: hello, world, a photo
+    merges = [
+        ("h", "e"),
+        ("l", "l"),
+        ("o", "</w>"),
+        ("he", "ll"),
+        ("hell", "o</w>"),
+        ("w", "o"),
+        ("r", "l"),
+        ("d", "</w>"),
+        ("rl", "d</w>"),
+        ("wo", "rld</w>"),
+    ]
+    for a, b in merges:
+        tokens.append(a + b)
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges)
+    )
+    return tmp_path
+
+
+def test_bpe_merges_and_padding(tmp_path):
+    tok = CLIPTokenizer.from_pretrained_dir(_toy_vocab_files(tmp_path))
+    ids, n = tok.tokenize("hello world", max_length=8)
+    assert ids.shape == (8,)
+    assert ids.dtype == np.int32
+    assert n == 4  # BOS hello</w> world</w> EOS
+    assert ids[0] == tok.bos_id
+    assert ids[1] == tok.vocab["hello</w>"]
+    assert ids[2] == tok.vocab["world</w>"]
+    assert ids[3] == tok.eos_id
+    assert all(i == tok.pad_id for i in ids[4:])
+
+
+def test_truncation_keeps_eos(tmp_path):
+    tok = CLIPTokenizer.from_pretrained_dir(_toy_vocab_files(tmp_path))
+    ids, n = tok.tokenize("hello world hello world hello world", max_length=4)
+    assert n == 4
+    assert ids[0] == tok.bos_id
+    assert ids[-1] == tok.eos_id
+
+
+def test_decode_roundtrip(tmp_path):
+    tok = CLIPTokenizer.from_pretrained_dir(_toy_vocab_files(tmp_path))
+    ids, _ = tok.tokenize("hello world", max_length=8)
+    assert tok.decode(ids) == "hello world"
+
+
+def test_lowercase_and_whitespace(tmp_path):
+    tok = CLIPTokenizer.from_pretrained_dir(_toy_vocab_files(tmp_path))
+    a, _ = tok.tokenize("  HELLO\t\nWorld ", max_length=8)
+    b, _ = tok.tokenize("hello world", max_length=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_parity_with_transformers_slow_tokenizer(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    d = _toy_vocab_files(tmp_path)
+    ours = CLIPTokenizer.from_pretrained_dir(d)
+    theirs = transformers.CLIPTokenizer(
+        str(d / "vocab.json"), str(d / "merges.txt")
+    )
+    for text in ["hello world", "world hello hello", "abc hello", ""]:
+        ref = theirs(text, padding="max_length", max_length=16, truncation=True)
+        ids, _ = ours.tokenize(text, max_length=16)
+        # transformers pads with its own pad token (defaults to eos here)
+        assert ids.tolist() == ref["input_ids"], text
