@@ -1,0 +1,147 @@
+"""PNDM scheduler (PLMS path, skip_prk) — the reference's default scheduler
+(StableDiffusionScheduler.pndmScheduler, Scheduler.swift:137-344).
+
+diffusers-PLMS semantics in scan form:
+- The trajectory has S+1 model evaluations: the second-from-last training
+  timestep is visited twice during warmup (diffusers duplicates it in
+  ``plms_timesteps``; the Swift port hides the same behavior in its counter
+  logic).  ``plan.num_steps`` is therefore ``steps + 1``.
+- The epsilon history (``ets``, Scheduler.swift:152-154) is a fixed 4-slot
+  ring buffer in the scan carry; the 1st/2nd/3rd/4th-order Adams–Bashforth
+  weights are looked up per step from a static table.
+- The counter==1 quirk (re-evaluate at the same point, restore the stashed
+  original sample) is encoded with static weight rows + a `where` on the
+  stashed sample.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import PredictionType, Scheduler, SchedulerPlan, strength_slice
+
+
+class PNDMScheduler(Scheduler):
+    def set_timesteps(self, num_inference_steps: int, strength: float = 1.0) -> SchedulerPlan:
+        cfg = self.config
+        S = num_inference_steps
+        ratio = cfg.num_train_timesteps // S
+        asc = np.arange(S, dtype=np.int64) * ratio + cfg.steps_offset
+        # duplicate the second-from-last ascending timestep (PLMS warmup)
+        plms = np.concatenate([asc[:-1], asc[-2:-1], asc[-1:]])[::-1].copy()
+
+        acp = cfg.alphas_cumprod()
+        final_alpha = acp[0]  # set_alpha_to_one=False for SD
+
+        N = len(plms)  # = S + 1
+        t_eval = plms.astype(np.float64)  # model is called at these
+        # (timestep, prev_timestep) pairs for the update formula.
+        t_upd = plms.copy()
+        t_prev = plms - ratio
+        if N >= 2:
+            # counter==1: update re-targets from the *first* timestep again
+            t_upd[1] = plms[0]
+            t_prev[1] = plms[0] - ratio
+
+        a_t = acp[np.clip(t_upd, 0, None)]
+        a_p = np.where(t_prev >= 0, acp[np.clip(t_prev, 0, None)], final_alpha)
+
+        sample_coeff = np.sqrt(a_p / a_t)
+        mo_denom = a_t * np.sqrt(1 - a_p) + np.sqrt(a_t * (1 - a_t) * a_p)
+        alpha_diff = a_p - a_t
+
+        # epsilon-combination weights on [e_current, m0, m1, m2, m3]
+        # (m0 = newest ring entry AFTER this step's conditional append).
+        w = np.zeros((N, 5))
+        for i in range(N):
+            if i == 0:
+                w[i] = [0, 1, 0, 0, 0]
+            elif i == 1:
+                w[i] = [0.5, 0.5, 0, 0, 0]
+            elif i == 2:
+                w[i] = [0, 3 / 2, -1 / 2, 0, 0]
+            elif i == 3:
+                w[i] = [0, 23 / 12, -16 / 12, 5 / 12, 0]
+            else:
+                w[i] = [0, 55 / 24, -59 / 24, 37 / 24, -9 / 24]
+
+        # v-prediction -> epsilon conversion coefficients at the *evaluation*
+        # timestep: eps = sqrt(acp)*v + sqrt(1-acp)*x.
+        a_eval = acp[np.clip(plms, 0, None)]
+
+        start = strength_slice(num_inference_steps, strength)
+        # slicing removes warmup rows; when resuming mid-trajectory (img2img)
+        # the scan restarts its counter, matching diffusers' re-set behavior.
+        if start > 0:
+            sl = slice(start + 1, None)  # drop the duplicated warmup row too
+            t_eval = t_eval[sl]
+            sample_coeff, mo_denom, alpha_diff = sample_coeff[sl], mo_denom[sl], alpha_diff[sl]
+            a_eval = a_eval[sl]
+            N = len(t_eval)
+            # fresh warmup without the duplicated step: order ramps 1->4
+            order_rows = [
+                [0, 1, 0, 0, 0],
+                [0, 3 / 2, -1 / 2, 0, 0],
+                [0, 23 / 12, -16 / 12, 5 / 12, 0],
+                [0, 55 / 24, -59 / 24, 37 / 24, -9 / 24],
+            ]
+            w = np.array([order_rows[min(i, 3)] for i in range(N)])
+
+        tables = {
+            "sample_coeff": jnp.asarray(sample_coeff, jnp.float32),
+            "mo_denom": jnp.asarray(mo_denom, jnp.float32),
+            "alpha_diff": jnp.asarray(alpha_diff, jnp.float32),
+            "weights": jnp.asarray(w, jnp.float32),
+            "sqrt_a_eval": jnp.asarray(np.sqrt(a_eval), jnp.float32),
+            "sqrt_1m_a_eval": jnp.asarray(np.sqrt(1 - a_eval), jnp.float32),
+            "resumed": jnp.asarray(start > 0),
+        }
+        return SchedulerPlan(
+            timesteps=jnp.asarray(t_eval, jnp.float32),
+            num_steps=N,
+            init_noise_sigma=1.0,
+            tables=tables,
+        )
+
+    def initial_state(self, plan, shape, dtype=jnp.float32):
+        return {
+            "ets": jnp.zeros((4, *shape), dtype),
+            "cur_sample": jnp.zeros(shape, dtype),
+        }
+
+    def step(self, plan, state, model_output, i, sample, noise=None):
+        resumed = plan.table("resumed")
+
+        if self.config.prediction_type == PredictionType.V_PREDICTION:
+            model_output = (plan.table("sqrt_a_eval")[i] * model_output
+                            + plan.table("sqrt_1m_a_eval")[i] * sample)
+
+        # warmup special cases only exist on the non-resumed trajectory
+        warmup_stash = jnp.logical_and(jnp.logical_not(resumed), i == 0)
+        warmup_restore = jnp.logical_and(jnp.logical_not(resumed), i == 1)
+        append = jnp.logical_or(resumed, i != 1)
+
+        cur_sample = jnp.where(warmup_stash, sample, state["cur_sample"])
+        upd_sample = jnp.where(warmup_restore, cur_sample, sample)
+
+        # ring append
+        slot = jnp.where(resumed, i % 4,
+                         jnp.where(i == 0, 0, (i - 1) % 4)).astype(jnp.int32)
+        ets = jnp.where(append, state["ets"].at[slot].set(model_output), state["ets"])
+        newest = slot  # on the skipped append (i==1) slot==0 == newest anyway
+
+        w = plan.table("weights")[i]
+        combined = w[0] * model_output
+        for j in range(4):
+            combined = combined + w[j + 1] * ets[(newest - j) % 4]
+
+        prev = (plan.table("sample_coeff")[i] * upd_sample
+                - plan.table("alpha_diff")[i] * combined / plan.table("mo_denom")[i])
+        return {"ets": ets, "cur_sample": cur_sample}, prev
+
+    def add_noise(self, plan, original, noise):
+        # reconstruct acp at the first evaluation timestep
+        a = plan.table("sqrt_a_eval")[0]
+        s = plan.table("sqrt_1m_a_eval")[0]
+        return a * original + s * noise
