@@ -1,0 +1,74 @@
+"""Attention dispatch.
+
+The reference ships three interchangeable attention implementations tuned for
+the ANE's memory constraints (attention.py:24-168: ORIGINAL batched einsums,
+SPLIT_EINSUM per-head, SPLIT_EINSUM_V2 with 512-wide query chunking).  On TPU
+those constraints do not exist; all three collapse into one of:
+
+- ``XLA``:   einsum + fp32 softmax — XLA fuses this well for moderate seqs.
+- ``FLASH``: blockwise Pallas flash-attention kernel (ops/flash_attention.py)
+  for the large self-attention seqs (4096+ at 512x512 latents).
+- ``AUTO``:  picks FLASH on TPU when shapes qualify, else XLA.
+
+All paths take (B, S, H, D) tensors and return the same, bit-compatible to
+each other within dtype tolerance (the reference's PSNR-equivalence contract
+between its three variants).
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+class AttentionImpl(str, enum.Enum):
+    AUTO = "auto"
+    XLA = "xla"
+    FLASH = "flash"
+
+
+def _xla_attention(q, k, v, bias=None, causal=False):
+    B, Sq, H, D = q.shape
+    scale = D ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        Sk = k.shape[1]
+        mask = jnp.tril(jnp.ones((Sq, Sk), dtype=bool), k=Sk - Sq)
+        # -1e4 (not -inf) for fp16-family parity with the reference's patched
+        # causal mask (torch2coreml.py:363-377)
+        logits = jnp.where(mask, logits, jnp.float32(-1e4))
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _flash_qualifies(q, k) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    # blockwise kernel wants MXU-aligned tiles and enough rows to pipeline
+    return Sq >= 256 and Sq % 128 == 0 and D <= 256
+
+
+def dot_product_attention(q, k, v, bias=None, causal=False,
+                          impl: AttentionImpl | str = AttentionImpl.AUTO):
+    """Multi-head attention over (B, S, H, D) tensors.
+
+    ``bias`` is an additive (B or 1, H or 1, Sq, Sk) mask/bias.
+    """
+    impl = AttentionImpl(impl)
+    if impl == AttentionImpl.AUTO:
+        impl = AttentionImpl.FLASH if _flash_qualifies(q, k) else AttentionImpl.XLA
+    if impl == AttentionImpl.FLASH:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias, causal=causal)
+    return _xla_attention(q, k, v, bias=bias, causal=causal)
