@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Flagship benchmark: SD-2.1-base 512x512 diffusion speed on one TPU chip.
+
+Measures the reference's headline metric — diffusion iter/s with CFG batch 2,
+20 steps (BASELINE.md: best reference device is M2 iPad ANE at 3.07 iter/s;
+target >= 30 iter/s on one v5e chip).
+
+Random bf16 weights (identical FLOPs/layout to ported real weights — speed
+is weight-value independent).  The denoise loop is the real pipeline path:
+one jitted lax.scan containing UNet + CFG guidance + DPM++ scheduler math.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
+from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
+
+BASELINE_ITERS_PER_S = 3.07  # iPad Pro M2, reference README.md:74
+STEPS = 20
+GUIDANCE = 7.5
+
+
+def main():
+    cfg = UNetConfig.sd21()
+    model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
+
+    h = w = 64  # 512 / 8
+    sample = jnp.zeros((2, h, w, 4), jnp.float32)
+    t0 = jnp.zeros((2,), jnp.float32)
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim), jnp.float32)
+
+    shapes = jax.eval_shape(lambda k: model.init(k, sample, t0, ctx),
+                            jax.random.key(0))["params"]
+    key = jax.random.key(0)
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02)
+        for k, s in zip(keys, leaves)])
+
+    sched = DPMSolverMultistepScheduler()
+    plan = sched.set_timesteps(STEPS)
+
+    @jax.jit
+    def denoise(params, latents, context):
+        state = sched.initial_state(plan, latents.shape)
+
+        def step(carry, i):
+            lat, st = carry
+            lat_in = sched.scale_model_input(plan, st, lat, i)
+            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+            eps = model.apply({"params": params}, lat2, plan.timesteps[i],
+                              context)
+            neg, pos = jnp.split(eps, 2, axis=0)
+            guided = neg + GUIDANCE * (pos - neg)
+            st, lat = sched.step(plan, st, guided, i, lat)
+            return (lat, st), None
+
+        (lat, _), _ = jax.lax.scan(step, (latents, state),
+                                   jnp.arange(plan.num_steps))
+        return lat
+
+    latents = jax.random.normal(jax.random.key(1), (1, h, w, 4), jnp.float32)
+    context = jax.random.normal(jax.random.key(2),
+                                (2, 77, cfg.cross_attention_dim), jnp.float32)
+
+    # warmup / compile
+    denoise(params, latents, context).block_until_ready()
+
+    times = []
+    for _ in range(3):
+        t = time.perf_counter()
+        denoise(params, latents, context).block_until_ready()
+        times.append(time.perf_counter() - t)
+    best = min(times)
+    iters_per_s = STEPS / best
+
+    print(json.dumps({
+        "metric": "SD-2.1-base 512x512 diffusion speed (CFG batch 2, 20 steps, DPM++ 2M)",
+        "value": round(iters_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

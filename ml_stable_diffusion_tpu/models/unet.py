@@ -1,0 +1,397 @@
+"""UNet2DConditionModel (Flax, NHWC, TPU-first).
+
+Covers the reference's UNet capability surface (unet.py:798-1152): SD 1.x/2.x
+and SDXL (text_time added conditioning, unet.py:1074-1082), ControlNet
+residual injection (unet.py:1009-1022), and the refiner (config-driven).
+
+Deliberate departures from the reference (SURVEY.md section 7):
+- NHWC layout + HWIO convs — TPU's native conv layout; the reference's
+  BC1S/"Linear as 1x1 conv" contortions (unet.py:74-127) are ANE-specific.
+- One fused attention op (ops/attention.py) instead of the reference's three
+  ANE-tuned einsum variants (attention.py:24-168).
+- Softmax always in fp32 — subsumes diffusers' "upcast_attention".
+
+Parameter tree naming intentionally mirrors the HF-diffusers checkpoint
+layout (down_blocks_0/resnets_0/...) so weight porting in convert/unet.py is
+a mechanical rename + transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: tuple[str, ...] = (
+        "CrossAttnDownBlock2D", "CrossAttnDownBlock2D", "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    up_block_types: tuple[str, ...] = (
+        "UpBlock2D", "CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    )
+    layers_per_block: int = 2
+    #: per down-block transformer depth (SDXL: (1, 2, 10))
+    transformer_layers_per_block: tuple[int, ...] = (1, 1, 1, 1)
+    #: heads per block — matches diffusers' (misnamed) attention_head_dim for
+    #: SD-family checkpoints
+    num_attention_heads: tuple[int, ...] = (5, 10, 20, 20)
+    cross_attention_dim: int = 1024
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    #: None (SD) or "text_time" (SDXL micro-conditioning)
+    addition_embed_type: str | None = None
+    addition_time_embed_dim: int = 256
+    #: SDXL: 2816 = 1280 pooled + 6*256 time ids; refiner: 2560 (5 ids)
+    projection_class_embeddings_input_dim: int = 2816
+
+    @classmethod
+    def sd15(cls) -> "UNetConfig":
+        return cls(cross_attention_dim=768,
+                   num_attention_heads=(8, 8, 8, 8))
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        return cls()
+
+    @classmethod
+    def sdxl(cls) -> "UNetConfig":
+        return cls(
+            block_out_channels=(320, 640, 1280),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                              "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                            "UpBlock2D"),
+            transformer_layers_per_block=(1, 2, 10),
+            num_attention_heads=(5, 10, 20),
+            cross_attention_dim=2048,
+            addition_embed_type="text_time",
+            projection_class_embeddings_input_dim=2816,
+        )
+
+    @classmethod
+    def sdxl_refiner(cls) -> "UNetConfig":
+        return cls(
+            block_out_channels=(384, 768, 1536, 1536),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                              "CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D",
+                            "CrossAttnUpBlock2D", "UpBlock2D"),
+            transformer_layers_per_block=(1, 4, 4, 1),
+            num_attention_heads=(6, 12, 24, 24),
+            cross_attention_dim=1280,
+            addition_embed_type="text_time",
+            projection_class_embeddings_input_dim=2560,
+        )
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def get_timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
+                           freq_shift: float = 0.0, max_period: float = 10000.0):
+    """Sinusoidal timestep embedding (reference unet.py:703-729 semantics).
+
+    Computed in fp32 regardless of model dtype — the fp16 rounding of the
+    exponent table is a known quality trap.
+    """
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin], axis=-1) if flip_sin_to_cos else \
+        jnp.concatenate([sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """two-layer MLP over the sinusoidal embedding (unet.py:630-662)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN->SiLU->conv + time-emb add + GN->SiLU->conv with skip
+    (reference ResnetBlock2D unet.py:406-489)."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Attention(nn.Module):
+    """QKV attention with fused TPU kernel dispatch (replaces the reference's
+    CrossAttention + 3 einsum variants, unet.py:62-120 / attention.py)."""
+
+    query_dim: int
+    heads: int
+    context_dim: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.query_dim
+        head_dim = inner // self.heads
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        B, Sq, _ = q.shape
+        Sk = k.shape[1]
+        q = q.reshape(B, Sq, self.heads, head_dim)
+        k = k.reshape(B, Sk, self.heads, head_dim)
+        v = v.reshape(B, Sk, self.heads, head_dim)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(B, Sq, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference unet.py:594-628)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        a, gate = jnp.split(proj, 2, axis=-1)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
+            a * nn.gelu(gate, approximate=False))
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn + cross-attn + GEGLU FF, pre-LN (unet.py:566-592)."""
+
+    dim: int
+    heads: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+            nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
+        x = x + Attention(self.dim, self.heads, self.context_dim,
+                          dtype=self.dtype, name="attn2")(
+            nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> project -> N transformer blocks over (B, H*W, C) -> project back
+    + residual (reference SpatialTransformer unet.py:513-564; the BCHW->BC1S
+    reshape :558 becomes a flatten of NHWC spatial dims)."""
+
+    channels: int
+    heads: int
+    depth: int
+    context_dim: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm")(x)
+        h = h.reshape(B, H * W, C)
+        h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.channels, self.heads,
+                                      self.context_dim, dtype=self.dtype,
+                                      name=f"transformer_blocks_{i}")(h, context)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # symmetric padding=1 matches torch Conv2d(stride=2, padding=1)
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class UNet2DConditionModel(nn.Module):
+    """Denoiser for SD 1.x/2.x and SDXL (reference unet.py:798-1152).
+
+    Inputs (NHWC):
+    - sample (B, H, W, C_in), timesteps (B,) float/int,
+    - encoder_hidden_states (B, S_text, C_ctx),
+    - added_cond: SDXL dict {"text_embeds": (B, 1280), "time_ids": (B, 5|6)}
+      (reference unet.py:1074-1082),
+    - down_block_residuals / mid_block_residual: ControlNet injection
+      (reference unet.py:1009-1022).
+    """
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 added_cond: dict | None = None,
+                 down_block_residuals: Sequence[jnp.ndarray] | None = None,
+                 mid_block_residual: jnp.ndarray | None = None):
+        cfg = self.config
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        # --- time + added embeddings (fp32) ---
+        t_emb = get_timestep_embedding(timesteps, cfg.block_out_channels[0],
+                                       cfg.flip_sin_to_cos, cfg.freq_shift)
+        emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                name="time_embedding")(t_emb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            assert added_cond is not None, "SDXL requires added_cond"
+            time_ids = added_cond["time_ids"].reshape(-1)
+            id_emb = get_timestep_embedding(time_ids, cfg.addition_time_embed_dim,
+                                            cfg.flip_sin_to_cos, cfg.freq_shift)
+            id_emb = id_emb.reshape(sample.shape[0], -1)
+            add = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), id_emb], axis=-1)
+            emb = emb + TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
+                                          name="add_embedding")(add.astype(self.dtype))
+
+        sample = sample.astype(self.dtype)
+        encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+
+        # --- down ---
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(sample)
+        residuals = [h]
+        for bi, btype in enumerate(cfg.down_block_types):
+            out_ch = cfg.block_out_channels[bi]
+            is_final = bi == len(cfg.down_block_types) - 1
+            for li in range(cfg.layers_per_block):
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  dtype=self.dtype,
+                                  name=f"down_blocks_{bi}_resnets_{li}")(h, emb)
+                if btype == "CrossAttnDownBlock2D":
+                    h = SpatialTransformer(
+                        out_ch, cfg.num_attention_heads[bi],
+                        cfg.transformer_layers_per_block[bi],
+                        cfg.cross_attention_dim, cfg.norm_num_groups,
+                        dtype=self.dtype,
+                        name=f"down_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
+                residuals.append(h)
+            if not is_final:
+                h = Downsample2D(out_ch, dtype=self.dtype,
+                                 name=f"down_blocks_{bi}_downsamplers_0")(h)
+                residuals.append(h)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
+        h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
+                               cfg.transformer_layers_per_block[-1],
+                               cfg.cross_attention_dim, cfg.norm_num_groups,
+                               dtype=self.dtype,
+                               name="mid_block_attentions_0")(h, encoder_hidden_states)
+        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
+
+        # --- ControlNet residual injection (unet.py:1009-1022) ---
+        if down_block_residuals is not None:
+            residuals = [r + c.astype(r.dtype)
+                         for r, c in zip(residuals, down_block_residuals)]
+        if mid_block_residual is not None:
+            h = h + mid_block_residual.astype(h.dtype)
+
+        # --- up ---
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for bi, btype in enumerate(cfg.up_block_types):
+            out_ch = rev_channels[bi]
+            is_final = bi == len(cfg.up_block_types) - 1
+            for li in range(cfg.layers_per_block + 1):
+                res = residuals.pop()
+                h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
+                h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  dtype=self.dtype,
+                                  name=f"up_blocks_{bi}_resnets_{li}")(h, emb)
+                if btype == "CrossAttnUpBlock2D":
+                    # heads indexed by mirrored down-block position
+                    down_bi = len(cfg.block_out_channels) - 1 - bi
+                    h = SpatialTransformer(
+                        out_ch, cfg.num_attention_heads[down_bi],
+                        cfg.transformer_layers_per_block[down_bi],
+                        cfg.cross_attention_dim, cfg.norm_num_groups,
+                        dtype=self.dtype,
+                        name=f"up_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
+            if not is_final:
+                h = Upsample2D(out_ch, dtype=self.dtype,
+                               name=f"up_blocks_{bi}_upsamplers_0")(h)
+
+        # --- out ---
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
+        return h.astype(jnp.float32)

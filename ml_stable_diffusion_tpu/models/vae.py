@@ -1,0 +1,192 @@
+"""VAE (AutoencoderKL) encoder/decoder in Flax, NHWC.
+
+TPU-native replacement for the reference's converted VAE models
+(torch2coreml.py convert_vae_decoder :548-698 / convert_vae_encoder
+:700-797; Swift wrappers Decoder.swift / Encoder.swift).  Config-driven to
+cover the 4-channel SD/SDXL VAE and the 16-channel SD3 VAE
+(convert_vae_decoder_sd3 torch2coreml.py:644).
+
+The reference forces the SDXL VAE to fp32 because fp16 overflows
+(torch2coreml.py:570-574); on TPU bf16 has fp32's exponent range so the
+default policy is safe, but decoding in fp32 stays one config flag away
+(utils.dtypes.VAE_POLICY).
+
+Latent scale/shift factors are pipeline-level constants (reference
+main.swift:119-139) and intentionally not baked in here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    #: SD/SDXL have 1x1 quant/post_quant convs; SD3's 16-ch VAE does not
+    use_quant_conv: bool = True
+
+    @classmethod
+    def sd(cls) -> "VAEConfig":
+        return cls()
+
+    @classmethod
+    def sd3(cls) -> "VAEConfig":
+        return cls(latent_channels=16, use_quant_conv=False)
+
+
+class VAEResnetBlock(nn.Module):
+    """Resnet block without time conditioning (VAE flavor)."""
+
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class VAEAttentionBlock(nn.Module):
+    """Single-head full self-attention over spatial positions (VAE mid)."""
+
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="group_norm")(x)
+        h = h.reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                            preferred_element_type=jnp.float32) * (C ** -0.5)
+        w = nn.softmax(logits, axis=-1)
+        h = jnp.einsum("bqk,bkc->bqc", w.astype(x.dtype), v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        h = nn.Dense(C, dtype=self.dtype, name="to_out_0")(h)
+        return x + h.reshape(B, H, W, C)
+
+
+class VAEMidBlock(nn.Module):
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = VAEResnetBlock(self.channels, self.groups, self.eps,
+                           dtype=self.dtype, name="resnets_0")(x)
+        x = VAEAttentionBlock(self.channels, self.groups, self.eps,
+                              dtype=self.dtype, name="attentions_0")(x)
+        return VAEResnetBlock(self.channels, self.groups, self.eps,
+                              dtype=self.dtype, name="resnets_1")(x)
+
+
+class VAEEncoder(nn.Module):
+    """image -> Gaussian moments (2 * latent_channels)."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = x.astype(self.dtype)
+        h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_in")(x)
+        for bi, out_ch in enumerate(cfg.block_out_channels):
+            for li in range(cfg.layers_per_block):
+                h = VAEResnetBlock(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                   dtype=self.dtype,
+                                   name=f"down_blocks_{bi}_resnets_{li}")(h)
+            if bi < len(cfg.block_out_channels) - 1:
+                # torch pads (0,1,0,1) before the stride-2 valid conv
+                h = nn.Conv(out_ch, (3, 3), strides=(2, 2),
+                            padding=((0, 1), (0, 1)), dtype=self.dtype,
+                            name=f"down_blocks_{bi}_downsamplers_0_conv")(h)
+        h = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
+                        cfg.norm_eps, dtype=self.dtype, name="mid_block")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_out")(h)
+        if cfg.use_quant_conv:
+            h = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=self.dtype,
+                        name="quant_conv")(h)
+        return h.astype(jnp.float32)
+
+
+class VAEDecoder(nn.Module):
+    """latents -> image in [-1, 1]."""
+
+    config: VAEConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        z = z.astype(self.dtype)
+        if cfg.use_quant_conv:
+            z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype,
+                        name="post_quant_conv")(z)
+        rev = tuple(reversed(cfg.block_out_channels))
+        h = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+        h = VAEMidBlock(rev[0], cfg.norm_num_groups, cfg.norm_eps,
+                        dtype=self.dtype, name="mid_block")(h)
+        for bi, out_ch in enumerate(rev):
+            for li in range(cfg.layers_per_block + 1):
+                h = VAEResnetBlock(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                   dtype=self.dtype,
+                                   name=f"up_blocks_{bi}_resnets_{li}")(h)
+            if bi < len(rev) - 1:
+                B, H, W, C = h.shape
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_blocks_{bi}_upsamplers_0_conv")(h)
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
+                         dtype=self.dtype, name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h).astype(jnp.float32)
+
+
+def sample_diagonal_gaussian(moments, noise):
+    """moments (B,H,W,2C) + standard normal noise (B,H,W,C) -> latent sample.
+
+    logvar clamped to [-30, 20] (reference Encoder.swift:70-73).
+    """
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    return mean + jnp.exp(0.5 * logvar) * noise

@@ -1,0 +1,126 @@
+"""Blockwise flash attention as a Pallas TPU kernel.
+
+This one kernel subsumes the reference's three ANE attention variants
+(attention.py:24-168) — in particular SPLIT_EINSUM_V2's 512-wide query
+chunking (attention.py:75-144) becomes blockwise online-softmax iteration
+over KV tiles, which bounds intermediates to VMEM instead of ANE SRAM.
+
+Standard flash algorithm: for each query tile, iterate over KV tiles
+accumulating (m, l, acc) running max / normalizer / weighted values; logits
+and accumulation in fp32 (MXU `preferred_element_type`), the p@v matmul in
+the input dtype.  Diffusion self/cross attention is unmasked, so no causal
+path is needed here (causal text encoding uses the XLA path — 77 tokens is
+far below the flash break-even anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
+
+    m_prev = m_ref[:, 0:1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    correction = jnp.exp(m_prev - m_new)
+
+    l_ref[:] = correction * l_ref[:] + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = correction * acc_ref[:] + pv
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
+
+
+def _pick_block(s: int, preferred: int) -> int:
+    b = min(s, preferred)
+    while s % b:
+        b //= 2
+    return max(b, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_bhsd(q, k, v, block_q: int, block_k: int):
+    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D)."""
+    BH, Sq, D = q.shape
+    Sk = k.shape[1]
+    scale = D ** -0.5
+    grid = (BH, Sq // block_q, Sk // block_k)
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
+            pltpu.VMEM((block_q, D), jnp.float32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+
+
+def flash_attention(q, k, v, bias=None, causal=False,
+                    block_q: int = 512, block_k: int = 512):
+    """Multi-head flash attention over (B, S, H, D) tensors.
+
+    Falls back to the XLA path for shapes/features the kernel does not
+    handle (bias, causal, tiny or non-divisible sequences).
+    """
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    bq = _pick_block(Sq, block_q)
+    bk = _pick_block(Sk, block_k)
+    if bias is not None or causal or bq < 128 or bk < 128:
+        from .attention import _xla_attention
+
+        return _xla_attention(q, k, v, bias=bias, causal=causal)
+
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    out = _flash_bhsd(qf, kf, vf, bq, bk)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)

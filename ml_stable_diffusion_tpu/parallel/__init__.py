@@ -1,0 +1,12 @@
+from .mesh import make_mesh
+from .sharding import shard_params, param_sharding_rules, batch_sharding
+from .train import make_train_step, TrainState
+
+__all__ = [
+    "make_mesh",
+    "shard_params",
+    "param_sharding_rules",
+    "batch_sharding",
+    "make_train_step",
+    "TrainState",
+]

@@ -1,0 +1,72 @@
+"""Public generation configuration.
+
+Field-for-field parity with the reference's de-facto public config API
+(StableDiffusionPipeline.Configuration.swift:15-89) plus the Python CLI's
+extra knobs (pipeline.py:785-857), adapted to TPU idioms where noted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass
+class PipelineConfiguration:
+    prompt: str = ""
+    negative_prompt: str = ""
+
+    #: img2img input: PIL image or NHWC float array in [-1, 1]
+    starting_image: Any | None = None
+    strength: float = 1.0
+
+    image_count: int = 1
+    step_count: int = 50
+    seed: int = 0
+    guidance_scale: float = 7.5
+
+    #: SDXL ensemble-of-denoisers handoff point (0..1 fraction of steps)
+    refiner_start: float = 0.8
+
+    #: per-ControlNet conditioning images (PIL or NHWC arrays)
+    controlnet_inputs: Sequence[Any] = ()
+
+    disable_safety: bool = False
+    #: progress callback sees decoded (denoised-x0) previews instead of raw
+    #: noisy latents (reference useDenoisedIntermediates)
+    use_denoised_intermediates: bool = False
+
+    #: scheduler key from schedulers.SCHEDULER_MAP
+    scheduler: str = "PNDM"
+    #: "linspace" | "leading" | "trailing" | "karras"
+    timestep_spacing: str | None = None
+    #: rectified-flow shift (SD3; reference --timestep-shift)
+    timestep_shift: float = 3.0
+
+    #: "jax" (native, fastest) | "numpy" | "torch" | "nvidia" (bit-parity
+    #: with the reference's --rng flag, main.swift:48)
+    rng: str = "jax"
+
+    #: serial batch-1 CFG parity mode (reference --unet-batch-one,
+    #: torch2coreml.py:825-826, pipeline.py:540-557)
+    unet_batch_one: bool = False
+
+    #: latent scale/shift; None -> per-family defaults (main.swift:119-139)
+    encoder_scale_factor: float | None = None
+    decoder_scale_factor: float | None = None
+    decoder_shift_factor: float | None = None
+
+    # SDXL micro-conditioning (StableDiffusionXLPipeline.swift:315-363)
+    original_size: tuple[int, int] | None = None
+    crops_coords_top_left: tuple[int, int] = (0, 0)
+    target_size: tuple[int, int] | None = None
+    aesthetic_score: float = 6.0
+    negative_aesthetic_score: float = 2.5
+
+    def validate(self):
+        if not (0.0 < self.strength <= 1.0):
+            raise ValueError("strength must be in (0, 1]")
+        if self.step_count < 1:
+            raise ValueError("step_count must be >= 1")
+        if self.image_count < 1:
+            raise ValueError("image_count must be >= 1")

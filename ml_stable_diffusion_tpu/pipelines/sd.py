@@ -1,0 +1,402 @@
+"""Stable Diffusion 1.x/2.x pipeline (TPU-native).
+
+The reference's generation loop does >=2 host<->device round trips per step
+(pipeline.py:500-573 — device UNet call, then host numpy guidance + torch
+scheduler step; Swift likewise, StableDiffusionPipeline.swift:263-350).
+Here the whole generation — text encode, CFG duplication, the denoise loop
+as one `lax.scan`, guidance, scheduler math, latent decode — is ONE jitted
+XLA program with zero host round trips.  A per-step path (jitted step fn +
+Python loop) exists only when a progress callback asks to observe
+intermediates (reference progressHandler / early-stop,
+StableDiffusionPipeline.swift:338-349).
+
+Capability parity with the reference pipelines:
+- txt2img + img2img (Encoder + add_noise, StableDiffusionPipeline.swift:361-377)
+- CFG with [negative, positive] concat order (pipeline.py:241-250) and the
+  guidance>1 enable rule (pipeline.py:443)
+- serial batch-1 CFG mode (--unet-batch-one, pipeline.py:540-557)
+- multi-ControlNet residual summation (pipeline.py:276-280)
+- reproducible RNG modes numpy/torch/nvidia + native jax (main.swift:48)
+- safety checking + progress callbacks with early stop
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers import SCHEDULER_MAP
+from ..schedulers.base import Scheduler, SchedulerConfig, TimestepSpacing
+from ..utils.image import nchw_to_nhwc, pil_to_tensor, tensor_to_pil
+from ..utils.rng import make_random_source
+from .config import PipelineConfiguration
+
+TEXT_LEN = 77
+
+
+@dataclasses.dataclass
+class PipelineProgress:
+    """Reference PipelineProgress (StableDiffusionPipeline.swift:413-426)."""
+
+    pipeline: Any
+    step: int
+    step_count: int
+    latents: np.ndarray
+
+    @property
+    def current_images(self):
+        return self.pipeline.decode_latents(self.latents)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    images: list  # PIL images (None where NSFW-filtered)
+    latents: np.ndarray
+    nsfw_flags: list[bool]
+    seconds_per_step: float
+
+
+class StableDiffusionPipeline:
+    """SD 1.x / 2.x.
+
+    Model arguments are ``(flax_module, params)`` pairs; ``controlnets`` is a
+    list of such pairs with matching conditioning images supplied at call
+    time (reference multi-ControlNet, ControlNet.swift:64-114).
+    """
+
+    #: reference main.swift:119 (SD family)
+    default_latent_scale = 0.18215
+    default_latent_shift = 0.0
+    latent_channels = 4
+    vae_downscale = 8
+
+    def __init__(self, *, tokenizer, text_encoder, unet, vae_decoder,
+                 vae_encoder=None, safety_checker=None, controlnets=(),
+                 scheduler_config: SchedulerConfig | None = None,
+                 text_embedding_key: str = "last_hidden_state"):
+        self.tokenizer = tokenizer
+        self.text_encoder, self.text_encoder_params = text_encoder
+        self.unet, self.unet_params = unet
+        self.vae_decoder, self.vae_decoder_params = vae_decoder
+        self.vae_encoder, self.vae_encoder_params = vae_encoder or (None, None)
+        self.safety_checker, self.safety_checker_params = safety_checker or (None, None)
+        self.controlnets = list(controlnets)
+        self.scheduler_config = scheduler_config or SchedulerConfig()
+        self.text_embedding_key = text_embedding_key
+        self._programs: dict = {}
+        self._decode_fn = None
+
+    # -- scheduler -------------------------------------------------------------
+
+    def _make_scheduler(self, cfg: PipelineConfiguration) -> Scheduler:
+        cls = SCHEDULER_MAP[cfg.scheduler]
+        kwargs = {}
+        if cfg.timestep_spacing is not None:
+            kwargs["timestep_spacing"] = TimestepSpacing(cfg.timestep_spacing)
+        if cfg.scheduler == "DiscreteFlow":
+            return cls(self.scheduler_config, shift=cfg.timestep_shift, **kwargs)
+        return cls(self.scheduler_config, **kwargs)
+
+    # -- text ------------------------------------------------------------------
+
+    def _tokenize(self, cfg: PipelineConfiguration) -> dict[str, np.ndarray]:
+        pos, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
+        neg, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
+        return {"ids": np.stack([neg, pos])}
+
+    def _encode_text(self, token_inputs: dict) -> dict:
+        """-> {"context": (2, 77, C), ...}; traced inside the program."""
+        out = self.text_encoder.apply(
+            {"params": self.text_encoder_params}, token_inputs["ids"])
+        return {"context": out[self.text_embedding_key]}
+
+    # -- conditioning hooks (overridden by SDXL) -------------------------------
+
+    def _added_cond(self, cfg: PipelineConfiguration, text: dict, batch: int):
+        return None
+
+    def _call_unet(self, latents, t, context, added_cond, down_res, mid_res):
+        return self.unet.apply(
+            {"params": self.unet_params}, latents, t, context,
+            added_cond=added_cond, down_block_residuals=down_res,
+            mid_block_residual=mid_res)
+
+    # -- latents ---------------------------------------------------------------
+
+    def _latent_hw(self, cfg: PipelineConfiguration, image_hw) -> tuple[int, int]:
+        H, W = image_hw
+        return H // self.vae_downscale, W // self.vae_downscale
+
+    def _initial_noise(self, cfg: PipelineConfiguration, shape_nchw):
+        """Host-side noise for the parity RNG modes, NCHW like the reference
+        then moved to NHWC; None for the native jax mode (drawn in-program)."""
+        if cfg.rng == "jax":
+            return None
+        src = make_random_source(cfg.rng, cfg.seed)
+        return nchw_to_nhwc(src.normal(shape_nchw)).astype(np.float32)
+
+    # -- program construction --------------------------------------------------
+
+    def _build_program(self, cfg: PipelineConfiguration, scheduler, plan,
+                       N: int, h: int, w: int, guidance_on: bool,
+                       n_ctrl: int, img2img: bool):
+        C = self.latent_channels
+        g = float(cfg.guidance_scale)
+        batch_one = cfg.unet_batch_one
+        scale = (cfg.encoder_scale_factor or self.default_latent_scale)
+        needs_noise = scheduler.needs_noise
+
+        def encode_stage(token_ids, init_image, key, init_noise):
+            text = self._encode_text({"ids": token_ids})
+            ctx = text["context"]
+            # expand [neg, pos] to batch N each: [neg*N, pos*N]
+            ctx_neg = jnp.repeat(ctx[0:1], N, axis=0)
+            ctx_pos = jnp.repeat(ctx[1:2], N, axis=0)
+            if init_noise is None:
+                noise = jax.random.normal(jax.random.fold_in(key, 0),
+                                          (N, h, w, C), jnp.float32)
+            else:
+                noise = init_noise
+            if img2img:
+                moments = self.vae_encoder.apply(
+                    {"params": self.vae_encoder_params}, init_image)
+                if init_noise is None:
+                    enc_noise = jax.random.normal(jax.random.fold_in(key, 1),
+                                                  (N, h, w, C), jnp.float32)
+                else:
+                    enc_noise = noise  # parity modes reuse the stream order
+                from ..models.vae import sample_diagonal_gaussian
+
+                z0 = sample_diagonal_gaussian(moments, enc_noise) * scale
+                latents = scheduler.add_noise(plan, z0, noise)
+            else:
+                latents = noise * plan.init_noise_sigma
+            return latents, ctx_neg, ctx_pos, text
+
+        def unet_stage(latents_in, t, ctx_neg, ctx_pos, added_neg, added_pos,
+                       down_res, mid_res):
+            if not guidance_on:
+                return self._call_unet(latents_in, t, ctx_pos, added_pos,
+                                       down_res, mid_res)
+            if batch_one:
+                # serial CFG parity mode (pipeline.py:540-557)
+                out_neg = self._call_unet(latents_in, t, ctx_neg, added_neg,
+                                          down_res, mid_res)
+                out_pos = self._call_unet(latents_in, t, ctx_pos, added_pos,
+                                          down_res, mid_res)
+            else:
+                lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
+                ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
+                added2 = None
+                if added_neg is not None:
+                    added2 = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], axis=0),
+                        added_neg, added_pos)
+                dr2 = mr2 = None
+                if down_res is not None:
+                    dr2 = [jnp.concatenate([r, r], axis=0) for r in down_res]
+                if mid_res is not None:
+                    mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
+                out = self._call_unet(lat2, t, ctx2, added2, dr2, mr2)
+                out_neg, out_pos = jnp.split(out, 2, axis=0)
+            # performGuidance (StableDiffusionPipeline.swift:465-483)
+            return out_neg + g * (out_pos - out_neg)
+
+        def controlnet_stage(latents_in, t, ctx_pos, ctrl_images):
+            if n_ctrl == 0:
+                return None, None
+            down_sum = None
+            mid_sum = None
+            for ci, (cn_model, cn_params) in enumerate(self.controlnets):
+                d, m = cn_model.apply({"params": cn_params}, latents_in, t,
+                                      ctx_pos, ctrl_images[ci])
+                if down_sum is None:
+                    down_sum, mid_sum = list(d), m
+                else:  # residual accumulation (ControlNet.swift:100-114)
+                    down_sum = [a + b for a, b in zip(down_sum, d)]
+                    mid_sum = mid_sum + m
+            return down_sum, mid_sum
+
+        def make_step(ctx_neg, ctx_pos, added_neg, added_pos, ctrl_images, key):
+            """xs = (i, step_noise|None).  For ancestral schedulers in native
+            jax-RNG mode (step_noise None) noise is drawn from the key."""
+
+            def step(carry, xs):
+                latents, state = carry
+                i, step_noise = xs
+                t = plan.timesteps[i]
+                latents_in = scheduler.scale_model_input(plan, state, latents, i)
+                down_res, mid_res = controlnet_stage(latents_in, t, ctx_pos,
+                                                     ctrl_images)
+                noise_pred = unet_stage(latents_in, t, ctx_neg, ctx_pos,
+                                        added_neg, added_pos, down_res, mid_res)
+                if needs_noise:
+                    if step_noise is None:
+                        step_noise = jax.random.normal(
+                            jax.random.fold_in(key, 1000 + i),
+                            latents.shape, jnp.float32)
+                    state, latents = scheduler.step(plan, state, noise_pred, i,
+                                                    latents, noise=step_noise)
+                else:
+                    state, latents = scheduler.step(plan, state, noise_pred, i,
+                                                    latents)
+                return (latents, state), None
+
+            return step
+
+        def full_run(token_ids, init_image, key, init_noise, step_noises,
+                     ctrl_images):
+            latents, ctx_neg, ctx_pos, text = encode_stage(
+                token_ids, init_image, key, init_noise)
+            added_neg, added_pos = self._added_cond_pair(cfg, text, N)
+            state = scheduler.initial_state(plan, latents.shape)
+            step = make_step(ctx_neg, ctx_pos, added_neg, added_pos,
+                             ctrl_images, key)
+            idx = jnp.arange(plan.num_steps)
+            xs = (idx, step_noises)  # None -> in-scan jax.random draws
+            (latents, _), _ = jax.lax.scan(step, (latents, state), xs)
+            return latents
+
+        # per-step entry points for the callback path
+        def init_run(token_ids, init_image, key, init_noise):
+            latents, ctx_neg, ctx_pos, text = encode_stage(
+                token_ids, init_image, key, init_noise)
+            added_neg, added_pos = self._added_cond_pair(cfg, text, N)
+            state = scheduler.initial_state(plan, latents.shape)
+            return latents, state, (ctx_neg, ctx_pos, added_neg, added_pos)
+
+        def one_step(latents, state, cond, i, step_noise, key, ctrl_images):
+            ctx_neg, ctx_pos, added_neg, added_pos = cond
+            step = make_step(ctx_neg, ctx_pos, added_neg, added_pos,
+                             ctrl_images, key)
+            (latents, state), _ = step((latents, state), (i, step_noise))
+            return latents, state
+
+        return {
+            "full": jax.jit(full_run),
+            "init": jax.jit(init_run),
+            "step": jax.jit(one_step),
+        }
+
+    def _added_cond_pair(self, cfg, text, N):
+        added = self._added_cond(cfg, text, N)
+        if added is None:
+            return None, None
+        return added
+
+    # -- decode / safety -------------------------------------------------------
+
+    def decode_latents(self, latents, cfg: PipelineConfiguration | None = None):
+        """scaled latents -> PIL images (reference decode_latents
+        pipeline.py:313-320 / Decoder.swift:48-61)."""
+        scale = ((cfg.decoder_scale_factor if cfg else None)
+                 or self.default_latent_scale)
+        shift = ((cfg.decoder_shift_factor if cfg else None)
+                 or self.default_latent_shift)
+        if self._decode_fn is None:
+            self._decode_fn = jax.jit(lambda z: self.vae_decoder.apply(
+                {"params": self.vae_decoder_params}, z))
+        imgs = self._decode_fn(jnp.asarray(latents) / scale + shift)
+        return tensor_to_pil(np.asarray(imgs))
+
+    def run_safety_checker(self, images):
+        """-> (filtered images, nsfw flags). Reference pipeline.py:286-311."""
+        if self.safety_checker is None:
+            return images, [False] * len(images)
+        from ..models.safety import check_images
+
+        return check_images(self.safety_checker, self.safety_checker_params,
+                            images)
+
+    # -- public API ------------------------------------------------------------
+
+    def generate_images(self, cfg: PipelineConfiguration,
+                        progress_handler: Callable[[PipelineProgress], bool] | None = None,
+                        image_hw: tuple[int, int] = (512, 512)) -> GenerationResult:
+        cfg.validate()
+        N = cfg.image_count
+        h, w = self._latent_hw(cfg, image_hw)
+        scheduler = self._make_scheduler(cfg)
+        img2img = cfg.starting_image is not None
+        strength = cfg.strength if img2img else 1.0
+        plan = scheduler.set_timesteps(cfg.step_count, strength=strength)
+        guidance_on = cfg.guidance_scale > 1.0
+        n_ctrl = len(cfg.controlnet_inputs)
+        if n_ctrl and n_ctrl != len(self.controlnets):
+            raise ValueError("controlnet_inputs count must match loaded controlnets")
+
+        key = (cfg.scheduler, cfg.step_count, N, h, w, guidance_on, n_ctrl,
+               img2img, cfg.unet_batch_one, cfg.rng == "jax",
+               cfg.timestep_spacing, round(strength, 4),
+               cfg.guidance_scale, cfg.timestep_shift,
+               self._conditioning_cache_key(cfg))
+        if key not in self._programs:
+            self._programs[key] = self._build_program(
+                cfg, scheduler, plan, N, h, w, guidance_on, n_ctrl, img2img)
+        prog = self._programs[key]
+
+        token_ids = jnp.asarray(self._tokenize(cfg)["ids"])
+        rng_key = jax.random.key(cfg.seed)
+
+        init_noise = self._initial_noise(cfg, (N, self.latent_channels, h, w))
+        step_noises = None
+        if scheduler.needs_noise and init_noise is not None:
+            src = make_random_source(cfg.rng, cfg.seed)
+            # regenerate the initial draw so per-step draws continue the stream
+            src.normal((N, self.latent_channels, h, w))
+            step_noises = np.stack([
+                nchw_to_nhwc(src.normal((N, self.latent_channels, h, w)))
+                for _ in range(plan.num_steps)])
+
+        init_image = jnp.zeros((N, h * 8, w * 8, 3), jnp.float32)
+        if img2img:
+            arr = cfg.starting_image
+            if not isinstance(arr, np.ndarray):
+                arr = pil_to_tensor(arr, size=(h * 8, w * 8))
+            init_image = jnp.asarray(
+                np.broadcast_to(arr, (N, h * 8, w * 8, 3)).copy())
+
+        t0 = time.perf_counter()
+        if progress_handler is None:
+            latents = prog["full"](token_ids, init_image, rng_key,
+                                   init_noise, step_noises,
+                                   self._ctrl_images(cfg, N))
+        else:
+            latents, state, cond = prog["init"](token_ids, init_image,
+                                                rng_key, init_noise)
+            ctrl = self._ctrl_images(cfg, N)
+            for i in range(plan.num_steps):
+                sn = step_noises[i] if step_noises is not None else None
+                latents, state = prog["step"](latents, state, cond,
+                                              jnp.asarray(i), sn, rng_key, ctrl)
+                keep_going = progress_handler(PipelineProgress(
+                    self, i + 1, plan.num_steps, np.asarray(latents)))
+                if keep_going is False:  # early stop (reference :338-349)
+                    break
+        latents = np.asarray(jax.block_until_ready(latents))
+        dt = (time.perf_counter() - t0) / plan.num_steps
+
+        images = self.decode_latents(latents, cfg)
+        if not cfg.disable_safety:
+            images, nsfw = self.run_safety_checker(images)
+        else:
+            nsfw = [False] * len(images)
+        return GenerationResult(images=images, latents=latents,
+                                nsfw_flags=nsfw, seconds_per_step=dt)
+
+    def _ctrl_images(self, cfg, N):
+        out = []
+        for im in cfg.controlnet_inputs:
+            if not isinstance(im, np.ndarray):
+                im = pil_to_tensor(im, value_range=(0.0, 1.0))
+            out.append(jnp.asarray(np.broadcast_to(
+                im, (N,) + tuple(im.shape[-3:])).copy()))
+        return out
+
+    def _conditioning_cache_key(self, cfg):
+        return ()

@@ -1,0 +1,84 @@
+"""Shared tiny-model fixtures for pipeline tests."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
+from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder, VAEEncoder
+from ml_stable_diffusion_tpu.tokenizer import CLIPTokenizer
+
+CTX_DIM = 48
+VOCAB = 1000
+
+
+def tiny_tokenizer(tmp_path):
+    chars = "abcdefghijklmnopqrstuvwxyz"
+    vocab = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = VOCAB - 2
+    vocab["<|endoftext|>"] = VOCAB - 1
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    return CLIPTokenizer.from_pretrained_dir(tmp_path)
+
+
+def tiny_text_encoder(eos_id=VOCAB - 1, use_projection=False):
+    cfg = CLIPTextConfig(vocab_size=VOCAB, hidden_size=CTX_DIM,
+                         intermediate_size=64, num_hidden_layers=2,
+                         num_attention_heads=2, eos_token_id=eos_id,
+                         use_text_projection=use_projection, projection_dim=32)
+    model = CLIPTextEncoder(cfg)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    return model, params
+
+
+def tiny_unet(cross_dim=CTX_DIM, xl=False):
+    if xl:
+        cfg = UNetConfig(
+            block_out_channels=(16, 32),
+            down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+            up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            transformer_layers_per_block=(1, 1),
+            num_attention_heads=(2, 2),
+            cross_attention_dim=cross_dim,
+            norm_num_groups=8,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=32 + 6 * 8,
+        )
+    else:
+        cfg = UNetConfig(
+            block_out_channels=(16, 32),
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            layers_per_block=1,
+            transformer_layers_per_block=(1, 1),
+            num_attention_heads=(2, 2),
+            cross_attention_dim=cross_dim,
+            norm_num_groups=8,
+        )
+    model = UNet2DConditionModel(cfg)
+    kwargs = {}
+    if xl:
+        kwargs["added_cond"] = {"text_embeds": jnp.zeros((1, 32)),
+                                "time_ids": jnp.zeros((1, 6))}
+    params = jax.jit(lambda k, *a: model.init(k, *a, **kwargs))(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
+                        jnp.zeros((1,)), jnp.zeros((1, 77, cross_dim)))["params"]
+    return model, params
+
+
+def tiny_vae():
+    cfg = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                    norm_num_groups=4)
+    dec = VAEDecoder(cfg)
+    dec_params = jax.jit(dec.init)(jax.random.key(2), jnp.zeros((1, 8, 8, 4)))["params"]
+    enc = VAEEncoder(cfg)
+    enc_params = jax.jit(enc.init)(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))["params"]
+    return (dec, dec_params), (enc, enc_params)

@@ -1,0 +1,135 @@
+"""End-to-end SD pipeline tests on tiny random models.
+
+Covers the reference pipelines' behavioral surface (pipeline.py:403-589,
+StableDiffusionPipeline.swift:208-359): determinism per seed, CFG enable
+rule, schedulers, img2img, progress callbacks with early stop, serial-CFG
+parity mode, RNG parity modes.
+"""
+
+import numpy as np
+import pytest
+
+from ml_stable_diffusion_tpu.pipelines import (
+    PipelineConfiguration,
+    StableDiffusionPipeline,
+)
+
+from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+HW = (64, 64)
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    tok = tiny_tokenizer(tmp_path_factory.mktemp("tok"))
+    dec, enc = tiny_vae()
+    return StableDiffusionPipeline(
+        tokenizer=tok,
+        text_encoder=tiny_text_encoder(),
+        unet=tiny_unet(),
+        vae_decoder=dec,
+        vae_encoder=enc,
+    )
+
+
+def _cfg(**kw):
+    kw.setdefault("prompt", "a cat")
+    kw.setdefault("step_count", 4)
+    kw.setdefault("disable_safety", True)
+    return PipelineConfiguration(**kw)
+
+
+def test_txt2img_basic(pipe):
+    res = pipe.generate_images(_cfg(seed=93), image_hw=HW)
+    assert len(res.images) == 1
+    assert res.images[0].size == (64, 64)
+    assert res.latents.shape == (1, 8, 8, 4)
+    assert np.isfinite(res.latents).all()
+
+
+def test_determinism_and_seed_sensitivity(pipe):
+    a = pipe.generate_images(_cfg(seed=93), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=93), image_hw=HW)
+    c = pipe.generate_images(_cfg(seed=94), image_hw=HW)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    assert np.abs(a.latents - c.latents).max() > 1e-6
+
+
+def test_negative_prompt_changes_output(pipe):
+    a = pipe.generate_images(_cfg(seed=1), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=1, negative_prompt="dog"), image_hw=HW)
+    assert np.abs(a.latents - b.latents).max() > 1e-6
+
+
+def test_guidance_disabled_below_one(pipe):
+    """CFG iff guidance > 1 (reference pipeline.py:443). With guidance off,
+    the negative prompt must be ignored."""
+    a = pipe.generate_images(_cfg(seed=1, guidance_scale=1.0), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=1, guidance_scale=1.0,
+                                  negative_prompt="dog"), image_hw=HW)
+    np.testing.assert_array_equal(a.latents, b.latents)
+
+
+def test_unet_batch_one_matches_batched(pipe):
+    """Serial CFG must be numerically equivalent to batched CFG
+    (reference pipeline.py:540-557)."""
+    a = pipe.generate_images(_cfg(seed=5), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=5, unet_batch_one=True), image_hw=HW)
+    np.testing.assert_allclose(a.latents, b.latents, atol=2e-4)
+
+
+@pytest.mark.parametrize("scheduler", ["PNDM", "DPMSolverMultistep", "DDIM",
+                                       "Euler", "EulerAncestral", "LMS"])
+def test_schedulers_run(pipe, scheduler):
+    res = pipe.generate_images(_cfg(seed=2, scheduler=scheduler), image_hw=HW)
+    assert np.isfinite(res.latents).all()
+
+
+@pytest.mark.parametrize("rng", ["numpy", "torch", "nvidia"])
+def test_rng_parity_modes(pipe, rng):
+    a = pipe.generate_images(_cfg(seed=7, rng=rng), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=7, rng=rng), image_hw=HW)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    c = pipe.generate_images(_cfg(seed=7, rng="jax"), image_hw=HW)
+    assert np.abs(a.latents - c.latents).max() > 1e-6
+
+
+def test_img2img(pipe):
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    res = pipe.generate_images(_cfg(seed=3, starting_image=img, strength=0.5),
+                               image_hw=HW)
+    assert np.isfinite(res.latents).all()
+    # strength slices the trajectory: different from full txt2img
+    full = pipe.generate_images(_cfg(seed=3), image_hw=HW)
+    assert np.abs(res.latents - full.latents).max() > 1e-6
+
+
+def test_image_count(pipe):
+    res = pipe.generate_images(_cfg(seed=4, image_count=2), image_hw=HW)
+    assert len(res.images) == 2
+    assert res.latents.shape[0] == 2
+
+
+def test_progress_callback_and_early_stop(pipe):
+    seen = []
+
+    def handler(p):
+        seen.append(p.step)
+        return p.step < 2  # stop after 2 steps
+
+    pipe.generate_images(_cfg(seed=6), progress_handler=handler, image_hw=HW)
+    assert seen == [1, 2]
+
+
+def test_callback_path_matches_scan_path(pipe):
+    a = pipe.generate_images(_cfg(seed=8), image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=8), progress_handler=lambda p: True,
+                             image_hw=HW)
+    np.testing.assert_allclose(a.latents, b.latents, atol=1e-5)
+
+
+def test_validation_errors(pipe):
+    with pytest.raises(ValueError):
+        pipe.generate_images(_cfg(step_count=0), image_hw=HW)
+    with pytest.raises(ValueError):
+        pipe.generate_images(_cfg(strength=0.0), image_hw=HW)

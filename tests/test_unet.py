@@ -1,0 +1,267 @@
+"""UNet tests.
+
+- Block-level math parity vs inline torch references (the reference gates
+  every conversion at 35 dB, torch2coreml.py:77 — same gate here).
+- Tiny-config forward/jit/shape tests for SD- and SDXL-shaped UNets.
+- Weight-port round-trip: flax params -> synthetic diffusers-layout state
+  dict -> port -> must reproduce the exact tree.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.convert.report import report_correctness
+from ml_stable_diffusion_tpu.convert.unet import port_unet, _resnet, _transformer_block
+from ml_stable_diffusion_tpu.models.unet import (
+    BasicTransformerBlock,
+    ResnetBlock2D,
+    UNet2DConditionModel,
+    UNetConfig,
+    get_timestep_embedding,
+)
+
+TINY_SD = UNetConfig(
+    block_out_channels=(32, 64),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    transformer_layers_per_block=(1, 1),
+    num_attention_heads=(2, 4),
+    cross_attention_dim=48,
+    norm_num_groups=8,
+)
+
+TINY_XL = dataclasses.replace(
+    TINY_SD,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    transformer_layers_per_block=(1, 2),
+    addition_embed_type="text_time",
+    projection_class_embeddings_input_dim=32 + 6 * 16,
+    addition_time_embed_dim=16,
+)
+
+
+def test_timestep_embedding_golden():
+    emb = get_timestep_embedding(jnp.asarray([0.0, 1.0]), 8)
+    e = np.asarray(emb)
+    # t=0: cos=1, sin=0 (flip_sin_to_cos puts cos first)
+    np.testing.assert_allclose(e[0], [1, 1, 1, 1, 0, 0, 0, 0], atol=1e-6)
+    # t=1: first frequency is exactly 1.0
+    np.testing.assert_allclose(e[1, 0], np.cos(1.0), atol=1e-6)
+    np.testing.assert_allclose(e[1, 4], np.sin(1.0), atol=1e-6)
+    freqs = np.exp(-np.log(10000.0) * np.arange(4) / 4)
+    np.testing.assert_allclose(e[1, 4:], np.sin(freqs), atol=1e-6)
+
+
+class _TorchResnet(torch.nn.Module):
+    def __init__(self, cin, cout, temb, groups):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(groups, cin, eps=1e-5)
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, padding=1)
+        self.time_emb_proj = torch.nn.Linear(temb, cout)
+        self.norm2 = torch.nn.GroupNorm(groups, cout, eps=1e-5)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = (torch.nn.Conv2d(cin, cout, 1)
+                              if cin != cout else torch.nn.Identity())
+
+    def forward(self, x, temb):
+        h = self.conv1(torch.nn.functional.silu(self.norm1(x)))
+        h = h + self.time_emb_proj(torch.nn.functional.silu(temb))[:, :, None, None]
+        h = self.conv2(torch.nn.functional.silu(self.norm2(h)))
+        return self.conv_shortcut(x) + h
+
+
+def test_resnet_block_parity():
+    torch.manual_seed(0)
+    tm = _TorchResnet(16, 32, 24, groups=8).eval()
+    sd = {k: v for k, v in tm.state_dict().items()}
+    params = _resnet(sd, "")
+    # strip the leading dot from prefix-less keys handled by _resnet("")
+    x = torch.randn(2, 16, 8, 8)
+    temb = torch.randn(2, 24)
+    with torch.no_grad():
+        ref = tm(x, temb).numpy()
+    block = ResnetBlock2D(out_channels=32, groups=8)
+    out = block.apply({"params": params},
+                      jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                      jnp.asarray(temb.numpy()))
+    report_correctness(np.asarray(out).transpose(0, 3, 1, 2), ref, "resnet")
+
+
+class _TorchTransformerBlock(torch.nn.Module):
+    def __init__(self, dim, heads, ctx):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = torch.nn.LayerNorm(dim)
+        self.attn1 = self._attn(dim, dim)
+        self.norm2 = torch.nn.LayerNorm(dim)
+        self.attn2 = self._attn(dim, ctx)
+        self.norm3 = torch.nn.LayerNorm(dim)
+        self.ff = torch.nn.ModuleDict({
+            "net": torch.nn.ModuleList([
+                torch.nn.ModuleDict({"proj": torch.nn.Linear(dim, dim * 8)}),
+                torch.nn.Identity(),
+                torch.nn.Linear(dim * 4, dim),
+            ])
+        })
+
+    @staticmethod
+    def _attn(dim, ctx):
+        return torch.nn.ModuleDict({
+            "to_q": torch.nn.Linear(dim, dim, bias=False),
+            "to_k": torch.nn.Linear(ctx, dim, bias=False),
+            "to_v": torch.nn.Linear(ctx, dim, bias=False),
+            "to_out": torch.nn.ModuleList([torch.nn.Linear(dim, dim)]),
+        })
+
+    def _run_attn(self, attn, x, ctx):
+        B, S, D = x.shape
+        H = self.heads
+        q = attn["to_q"](x).view(B, S, H, D // H).transpose(1, 2)
+        k = attn["to_k"](ctx).view(B, ctx.shape[1], H, D // H).transpose(1, 2)
+        v = attn["to_v"](ctx).view(B, ctx.shape[1], H, D // H).transpose(1, 2)
+        o = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(B, S, D)
+        return attn["to_out"][0](o)
+
+    def forward(self, x, ctx):
+        x = x + self._run_attn(self.attn1, self.norm1(x), self.norm1(x))
+        x = x + self._run_attn(self.attn2, self.norm2(x), ctx)
+        h = self.ff["net"][0]["proj"](self.norm3(x))
+        a, gate = h.chunk(2, dim=-1)
+        return x + self.ff["net"][2](a * torch.nn.functional.gelu(gate))
+
+
+def test_transformer_block_parity():
+    torch.manual_seed(1)
+    dim, heads, ctx_dim = 32, 4, 24
+    tm = _TorchTransformerBlock(dim, heads, ctx_dim).eval()
+    sd = {k.replace("ff.net.0.proj", "ff.net.0.proj")
+          .replace("to_out.0", "to_out.0"): v for k, v in tm.state_dict().items()}
+    params = _transformer_block(sd, "")
+    x = torch.randn(2, 16, dim)
+    ctx = torch.randn(2, 7, ctx_dim)
+    with torch.no_grad():
+        ref = tm(x, ctx).numpy()
+    block = BasicTransformerBlock(dim, heads, ctx_dim)
+    out = block.apply({"params": params}, jnp.asarray(x.numpy()),
+                      jnp.asarray(ctx.numpy()))
+    report_correctness(np.asarray(out), ref, "transformer_block")
+
+
+def _tiny_inputs(cfg, B=2, hw=16, ctx_len=7):
+    rng = np.random.RandomState(0)
+    sample = jnp.asarray(rng.randn(B, hw, hw, cfg.in_channels), jnp.float32)
+    t = jnp.asarray([10.0] * B)
+    ctx = jnp.asarray(rng.randn(B, ctx_len, cfg.cross_attention_dim), jnp.float32)
+    added = None
+    if cfg.addition_embed_type == "text_time":
+        added = {
+            "text_embeds": jnp.asarray(rng.randn(B, 32), jnp.float32),
+            "time_ids": jnp.asarray(rng.randn(B, 6), jnp.float32),
+        }
+    return sample, t, ctx, added
+
+
+@pytest.mark.parametrize("cfg", [TINY_SD, TINY_XL], ids=["sd", "xl"])
+def test_unet_forward_shapes(cfg):
+    model = UNet2DConditionModel(cfg)
+    sample, t, ctx, added = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx, added_cond=added)
+    out = jax.jit(lambda p, s: model.apply(p, s, t, ctx, added_cond=added))(
+        params, sample)
+    assert out.shape == sample.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_controlnet_injection():
+    cfg = TINY_SD
+    model = UNet2DConditionModel(cfg)
+    sample, t, ctx, _ = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx)
+    base = model.apply(params, sample, t, ctx)
+
+    # residual layout: conv_in + per-layer + downsamplers (reference
+    # get_num_residuals, controlnet.py:191)
+    shapes = [(2, 16, 16, 32), (2, 16, 16, 32), (2, 8, 8, 32),
+              (2, 8, 8, 64)]
+    res = [jnp.ones(s, jnp.float32) for s in shapes]
+    mid = jnp.ones((2, 8, 8, 64), jnp.float32)
+    out = model.apply(params, sample, t, ctx,
+                      down_block_residuals=res, mid_block_residual=mid)
+    assert np.abs(np.asarray(out - base)).max() > 1e-3
+
+
+def test_port_roundtrip_exact():
+    """Invert the port mapping from flax init -> synthetic diffusers state
+    dict -> port; must reproduce the tree bit-exactly."""
+    cfg = TINY_XL
+    model = UNet2DConditionModel(cfg)
+    sample, t, ctx, added = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx, added_cond=added)["params"]
+
+    sd = {}
+
+    def emit(path, leaf):
+        keys = [p.key for p in path]
+        name = keys[0]
+        rest = keys[1:]
+        # rebuild the diffusers dotted name
+        parts = []
+        for tok in name.split("_"):
+            parts.append(tok)
+        flat = "_".join(keys[:-1])
+        leafname = keys[-1]
+        # flax name -> diffusers name
+        d = "/".join(keys)
+        sd[d] = np.asarray(leaf)
+
+    jax.tree_util.tree_map_with_path(emit, params)
+
+    # Build the synthetic torch-layout dict by inverting each leaf transform.
+    torch_sd = {}
+    for path, value in sd.items():
+        keys = path.split("/")
+        mod = "/".join(keys[:-1])
+        dname = (mod
+                 .replace("down_blocks_", "down_blocks.")
+                 .replace("up_blocks_", "up_blocks.")
+                 .replace("mid_block_resnets_", "mid_block.resnets.")
+                 .replace("mid_block_attentions_", "mid_block.attentions.")
+                 .replace("_resnets_", ".resnets.")
+                 .replace("_attentions_", ".attentions.")
+                 .replace("_downsamplers_0", ".downsamplers.0")
+                 .replace("_upsamplers_0", ".upsamplers.0")
+                 .replace("transformer_blocks_", "transformer_blocks.")
+                 .replace("to_out_0", "to_out.0")
+                 .replace("geglu_proj", "net.0.proj")
+                 .replace("ff/proj_out", "ff/net.2")
+                 .replace("/", "."))
+        leaf = keys[-1]
+        if leaf == "kernel":
+            if value.ndim == 4:
+                torch_sd[dname + ".weight"] = value.transpose(3, 2, 0, 1)
+            else:
+                torch_sd[dname + ".weight"] = value.T
+        elif leaf == "scale":
+            torch_sd[dname + ".weight"] = value
+        else:
+            torch_sd[dname + ".bias"] = value
+
+    ported = port_unet(torch_sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(ported)}
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        key = jax.tree_util.keystr(p)
+        assert key in flat_b, key
+        np.testing.assert_array_equal(np.asarray(v), flat_b[key], err_msg=key)
