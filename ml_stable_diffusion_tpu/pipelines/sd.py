@@ -10,6 +10,10 @@ Python loop) exists only when a progress callback asks to observe
 intermediates (reference progressHandler / early-stop,
 StableDiffusionPipeline.swift:338-349).
 
+The loop is phase-structured: SD runs one phase; SDXL's refiner handoff
+(StableDiffusionXLPipeline.swift:206-225) becomes two consecutive scans over
+the same scheduler state with different denoisers.
+
 Capability parity with the reference pipelines:
 - txt2img + img2img (Encoder + add_noise, StableDiffusionPipeline.swift:361-377)
 - CFG with [negative, positive] concat order (pipeline.py:241-250) and the
@@ -55,7 +59,7 @@ class PipelineProgress:
 
 @dataclasses.dataclass
 class GenerationResult:
-    images: list  # PIL images (None where NSFW-filtered)
+    images: list  # PIL images (blacked out where NSFW-filtered)
     latents: np.ndarray
     nsfw_flags: list[bool]
     seconds_per_step: float
@@ -109,22 +113,29 @@ class StableDiffusionPipeline:
         neg, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
         return {"ids": np.stack([neg, pos])}
 
-    def _encode_text(self, token_inputs: dict) -> dict:
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
         """-> {"context": (2, 77, C), ...}; traced inside the program."""
         out = self.text_encoder.apply(
             {"params": self.text_encoder_params}, token_inputs["ids"])
         return {"context": out[self.text_embedding_key]}
 
-    # -- conditioning hooks (overridden by SDXL) -------------------------------
-
-    def _added_cond(self, cfg: PipelineConfiguration, text: dict, batch: int):
-        return None
+    # -- denoiser phases (overridden by SDXL for the refiner) -------------------
 
     def _call_unet(self, latents, t, context, added_cond, down_res, mid_res):
         return self.unet.apply(
             {"params": self.unet_params}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
             mid_block_residual=mid_res)
+
+    def _denoise_phases(self, cfg: PipelineConfiguration, num_steps: int):
+        """-> list of (start, end, unet_caller).  One phase for plain SD."""
+        return [(0, num_steps, self._call_unet)]
+
+    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
+        """-> (ctx_neg, ctx_pos, added_neg, added_pos) for a phase."""
+        ctx = text["context"]
+        return (jnp.repeat(ctx[0:1], N, axis=0),
+                jnp.repeat(ctx[1:2], N, axis=0), None, None)
 
     # -- latents ---------------------------------------------------------------
 
@@ -140,7 +151,7 @@ class StableDiffusionPipeline:
         src = make_random_source(cfg.rng, cfg.seed)
         return nchw_to_nhwc(src.normal(shape_nchw)).astype(np.float32)
 
-    # -- program construction --------------------------------------------------
+    # -- program construction ----------------------------------------------------
 
     def _build_program(self, cfg: PipelineConfiguration, scheduler, plan,
                        N: int, h: int, w: int, guidance_on: bool,
@@ -150,13 +161,10 @@ class StableDiffusionPipeline:
         batch_one = cfg.unet_batch_one
         scale = (cfg.encoder_scale_factor or self.default_latent_scale)
         needs_noise = scheduler.needs_noise
+        phases = self._denoise_phases(cfg, plan.num_steps)
 
         def encode_stage(token_ids, init_image, key, init_noise):
-            text = self._encode_text({"ids": token_ids})
-            ctx = text["context"]
-            # expand [neg, pos] to batch N each: [neg*N, pos*N]
-            ctx_neg = jnp.repeat(ctx[0:1], N, axis=0)
-            ctx_pos = jnp.repeat(ctx[1:2], N, axis=0)
+            text = self._encode_text(cfg, token_ids)
             if init_noise is None:
                 noise = jax.random.normal(jax.random.fold_in(key, 0),
                                           (N, h, w, C), jnp.float32)
@@ -169,72 +177,71 @@ class StableDiffusionPipeline:
                     enc_noise = jax.random.normal(jax.random.fold_in(key, 1),
                                                   (N, h, w, C), jnp.float32)
                 else:
-                    enc_noise = noise  # parity modes reuse the stream order
+                    enc_noise = noise  # parity modes share the single host draw
                 from ..models.vae import sample_diagonal_gaussian
 
                 z0 = sample_diagonal_gaussian(moments, enc_noise) * scale
                 latents = scheduler.add_noise(plan, z0, noise)
             else:
                 latents = noise * plan.init_noise_sigma
-            return latents, ctx_neg, ctx_pos, text
+            return latents, text
 
-        def unet_stage(latents_in, t, ctx_neg, ctx_pos, added_neg, added_pos,
-                       down_res, mid_res):
-            if not guidance_on:
-                return self._call_unet(latents_in, t, ctx_pos, added_pos,
-                                       down_res, mid_res)
-            if batch_one:
-                # serial CFG parity mode (pipeline.py:540-557)
-                out_neg = self._call_unet(latents_in, t, ctx_neg, added_neg,
-                                          down_res, mid_res)
-                out_pos = self._call_unet(latents_in, t, ctx_pos, added_pos,
-                                          down_res, mid_res)
-            else:
-                lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
-                ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
-                added2 = None
-                if added_neg is not None:
-                    added2 = jax.tree.map(
-                        lambda a, b: jnp.concatenate([a, b], axis=0),
-                        added_neg, added_pos)
-                dr2 = mr2 = None
-                if down_res is not None:
-                    dr2 = [jnp.concatenate([r, r], axis=0) for r in down_res]
-                if mid_res is not None:
-                    mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
-                out = self._call_unet(lat2, t, ctx2, added2, dr2, mr2)
-                out_neg, out_pos = jnp.split(out, 2, axis=0)
-            # performGuidance (StableDiffusionPipeline.swift:465-483)
-            return out_neg + g * (out_pos - out_neg)
+        def make_denoiser(call_unet, ctx_neg, ctx_pos, added_neg, added_pos,
+                          ctrl_images):
+            def controlnet_stage(latents_in, t):
+                if n_ctrl == 0:
+                    return None, None
+                down_sum = mid_sum = None
+                for ci, (cn_model, cn_params) in enumerate(self.controlnets):
+                    d, m = cn_model.apply({"params": cn_params}, latents_in, t,
+                                          ctx_pos, ctrl_images[ci])
+                    if down_sum is None:
+                        down_sum, mid_sum = list(d), m
+                    else:  # residual accumulation (ControlNet.swift:100-114)
+                        down_sum = [a + b for a, b in zip(down_sum, d)]
+                        mid_sum = mid_sum + m
+                return down_sum, mid_sum
 
-        def controlnet_stage(latents_in, t, ctx_pos, ctrl_images):
-            if n_ctrl == 0:
-                return None, None
-            down_sum = None
-            mid_sum = None
-            for ci, (cn_model, cn_params) in enumerate(self.controlnets):
-                d, m = cn_model.apply({"params": cn_params}, latents_in, t,
-                                      ctx_pos, ctrl_images[ci])
-                if down_sum is None:
-                    down_sum, mid_sum = list(d), m
-                else:  # residual accumulation (ControlNet.swift:100-114)
-                    down_sum = [a + b for a, b in zip(down_sum, d)]
-                    mid_sum = mid_sum + m
-            return down_sum, mid_sum
+            def denoise(latents_in, t):
+                down_res, mid_res = controlnet_stage(latents_in, t)
+                if not guidance_on:
+                    return call_unet(latents_in, t, ctx_pos, added_pos,
+                                     down_res, mid_res)
+                if batch_one:
+                    # serial CFG parity mode (pipeline.py:540-557)
+                    out_neg = call_unet(latents_in, t, ctx_neg, added_neg,
+                                        down_res, mid_res)
+                    out_pos = call_unet(latents_in, t, ctx_pos, added_pos,
+                                        down_res, mid_res)
+                else:
+                    lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
+                    ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
+                    added2 = None
+                    if added_neg is not None:
+                        added2 = jax.tree.map(
+                            lambda a, b: jnp.concatenate([a, b], axis=0),
+                            added_neg, added_pos)
+                    dr2 = mr2 = None
+                    if down_res is not None:
+                        dr2 = [jnp.concatenate([r, r], axis=0) for r in down_res]
+                    if mid_res is not None:
+                        mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
+                    out = call_unet(lat2, t, ctx2, added2, dr2, mr2)
+                    out_neg, out_pos = jnp.split(out, 2, axis=0)
+                # performGuidance (StableDiffusionPipeline.swift:465-483)
+                return out_neg + g * (out_pos - out_neg)
 
-        def make_step(ctx_neg, ctx_pos, added_neg, added_pos, ctrl_images, key):
-            """xs = (i, step_noise|None).  For ancestral schedulers in native
-            jax-RNG mode (step_noise None) noise is drawn from the key."""
+            return denoise
+
+        def make_step(denoiser, key):
+            """scan body; xs = (i, step_noise|None)."""
 
             def step(carry, xs):
                 latents, state = carry
                 i, step_noise = xs
                 t = plan.timesteps[i]
                 latents_in = scheduler.scale_model_input(plan, state, latents, i)
-                down_res, mid_res = controlnet_stage(latents_in, t, ctx_pos,
-                                                     ctrl_images)
-                noise_pred = unet_stage(latents_in, t, ctx_neg, ctx_pos,
-                                        added_neg, added_pos, down_res, mid_res)
+                noise_pred = denoiser(latents_in, t)
                 if needs_noise:
                     if step_noise is None:
                         step_noise = jax.random.normal(
@@ -249,47 +256,51 @@ class StableDiffusionPipeline:
 
             return step
 
+        def phase_denoisers(text, ctrl_images):
+            out = []
+            for pi, (lo, hi, call_unet) in enumerate(phases):
+                ctx_neg, ctx_pos, added_neg, added_pos = \
+                    self._phase_conditioning(cfg, text, N, pi)
+                out.append((lo, hi, make_denoiser(call_unet, ctx_neg, ctx_pos,
+                                                  added_neg, added_pos,
+                                                  ctrl_images)))
+            return out
+
         def full_run(token_ids, init_image, key, init_noise, step_noises,
                      ctrl_images):
-            latents, ctx_neg, ctx_pos, text = encode_stage(
-                token_ids, init_image, key, init_noise)
-            added_neg, added_pos = self._added_cond_pair(cfg, text, N)
+            latents, text = encode_stage(token_ids, init_image, key, init_noise)
             state = scheduler.initial_state(plan, latents.shape)
-            step = make_step(ctx_neg, ctx_pos, added_neg, added_pos,
-                             ctrl_images, key)
             idx = jnp.arange(plan.num_steps)
-            xs = (idx, step_noises)  # None -> in-scan jax.random draws
-            (latents, _), _ = jax.lax.scan(step, (latents, state), xs)
+            for lo, hi, denoiser in phase_denoisers(text, ctrl_images):
+                step = make_step(denoiser, key)
+                xs = (idx[lo:hi],
+                      None if step_noises is None else step_noises[lo:hi])
+                (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
             return latents
 
         # per-step entry points for the callback path
         def init_run(token_ids, init_image, key, init_noise):
-            latents, ctx_neg, ctx_pos, text = encode_stage(
-                token_ids, init_image, key, init_noise)
-            added_neg, added_pos = self._added_cond_pair(cfg, text, N)
+            latents, text = encode_stage(token_ids, init_image, key, init_noise)
             state = scheduler.initial_state(plan, latents.shape)
-            return latents, state, (ctx_neg, ctx_pos, added_neg, added_pos)
+            return latents, state, text
 
-        def one_step(latents, state, cond, i, step_noise, key, ctrl_images):
-            ctx_neg, ctx_pos, added_neg, added_pos = cond
-            step = make_step(ctx_neg, ctx_pos, added_neg, added_pos,
-                             ctrl_images, key)
-            (latents, state), _ = step((latents, state), (i, step_noise))
-            return latents, state
+        def make_one_step(phase_idx):
+            def one_step(latents, state, text, i, step_noise, key, ctrl_images):
+                lo, hi, denoiser = phase_denoisers(text, ctrl_images)[phase_idx]
+                step = make_step(denoiser, key)
+                (latents, state), _ = step((latents, state), (i, step_noise))
+                return latents, state
+
+            return jax.jit(one_step)
 
         return {
             "full": jax.jit(full_run),
             "init": jax.jit(init_run),
-            "step": jax.jit(one_step),
+            "steps": [make_one_step(pi) for pi in range(len(phases))],
+            "phases": [(lo, hi) for lo, hi, _ in phases],
         }
 
-    def _added_cond_pair(self, cfg, text, N):
-        added = self._added_cond(cfg, text, N)
-        if added is None:
-            return None, None
-        return added
-
-    # -- decode / safety -------------------------------------------------------
+    # -- decode / safety ---------------------------------------------------------
 
     def decode_latents(self, latents, cfg: PipelineConfiguration | None = None):
         """scaled latents -> PIL images (reference decode_latents
@@ -313,7 +324,7 @@ class StableDiffusionPipeline:
         return check_images(self.safety_checker, self.safety_checker_params,
                             images)
 
-    # -- public API ------------------------------------------------------------
+    # -- public API ----------------------------------------------------------------
 
     def generate_images(self, cfg: PipelineConfiguration,
                         progress_handler: Callable[[PipelineProgress], bool] | None = None,
@@ -340,7 +351,7 @@ class StableDiffusionPipeline:
                 cfg, scheduler, plan, N, h, w, guidance_on, n_ctrl, img2img)
         prog = self._programs[key]
 
-        token_ids = jnp.asarray(self._tokenize(cfg)["ids"])
+        token_ids = {k: jnp.asarray(v) for k, v in self._tokenize(cfg).items()}
         rng_key = jax.random.key(cfg.seed)
 
         init_noise = self._initial_noise(cfg, (N, self.latent_channels, h, w))
@@ -353,13 +364,14 @@ class StableDiffusionPipeline:
                 nchw_to_nhwc(src.normal((N, self.latent_channels, h, w)))
                 for _ in range(plan.num_steps)])
 
-        init_image = jnp.zeros((N, h * 8, w * 8, 3), jnp.float32)
+        ds = self.vae_downscale
+        init_image = jnp.zeros((N, h * ds, w * ds, 3), jnp.float32)
         if img2img:
             arr = cfg.starting_image
             if not isinstance(arr, np.ndarray):
-                arr = pil_to_tensor(arr, size=(h * 8, w * 8))
+                arr = pil_to_tensor(arr, size=(h * ds, w * ds))
             init_image = jnp.asarray(
-                np.broadcast_to(arr, (N, h * 8, w * 8, 3)).copy())
+                np.broadcast_to(arr, (N, h * ds, w * ds, 3)).copy())
 
         t0 = time.perf_counter()
         if progress_handler is None:
@@ -367,17 +379,22 @@ class StableDiffusionPipeline:
                                    init_noise, step_noises,
                                    self._ctrl_images(cfg, N))
         else:
-            latents, state, cond = prog["init"](token_ids, init_image,
+            latents, state, text = prog["init"](token_ids, init_image,
                                                 rng_key, init_noise)
             ctrl = self._ctrl_images(cfg, N)
-            for i in range(plan.num_steps):
-                sn = step_noises[i] if step_noises is not None else None
-                latents, state = prog["step"](latents, state, cond,
-                                              jnp.asarray(i), sn, rng_key, ctrl)
-                keep_going = progress_handler(PipelineProgress(
-                    self, i + 1, plan.num_steps, np.asarray(latents)))
-                if keep_going is False:  # early stop (reference :338-349)
+            stopped = False
+            for pi, (lo, hi) in enumerate(prog["phases"]):
+                if stopped:
                     break
+                for i in range(lo, hi):
+                    sn = step_noises[i] if step_noises is not None else None
+                    latents, state = prog["steps"][pi](
+                        latents, state, text, jnp.asarray(i), sn, rng_key, ctrl)
+                    keep_going = progress_handler(PipelineProgress(
+                        self, i + 1, plan.num_steps, np.asarray(latents)))
+                    if keep_going is False:  # early stop (reference :338-349)
+                        stopped = True
+                        break
         latents = np.asarray(jax.block_until_ready(latents))
         dt = (time.perf_counter() - t0) / plan.num_steps
 

@@ -1,0 +1,138 @@
+"""SDXL pipeline (base + optional refiner), TPU-native.
+
+Capability parity with the reference's StableDiffusionXLPipeline.swift:
+- dual text encoders with penultimate-layer taps, concatenated 768+1280 ->
+  2048 context (encodePrompt :285-313; conversion tap torch2coreml.py:416-428)
+- pooled text embedding + time-ids micro-conditioning (generateConditioning
+  :315-363): base = size+crop+target_size, refiner = size+crop+aestheticScore
+- force_zeros_for_empty_prompt (reference pipeline.py:183-187)
+- refiner ensemble-of-denoisers handoff at refiner_start (:206-225), realized
+  as two consecutive scans sharing scheduler state — the refiner attends only
+  to the 1280-dim encoder-2 context (cross_attention_dim 1280)
+- SDXL latent scale 0.13025 (main.swift:124)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import PipelineConfiguration
+from .sd import TEXT_LEN, StableDiffusionPipeline
+
+
+class StableDiffusionXLPipeline(StableDiffusionPipeline):
+    default_latent_scale = 0.13025
+
+    def __init__(self, *, tokenizer, tokenizer2, text_encoder=None,
+                 text_encoder2, unet, refiner_unet=None, vae_decoder,
+                 vae_encoder=None, safety_checker=None, controlnets=(),
+                 scheduler_config=None, force_zeros_for_empty_prompt=True):
+        # text_encoder (OpenAI ViT-L) is optional: refiner-only setups omit it
+        # (reference StableDiffusionXL+Resources.swift:60-65)
+        super().__init__(tokenizer=tokenizer,
+                         text_encoder=text_encoder or (None, None),
+                         unet=unet, vae_decoder=vae_decoder,
+                         vae_encoder=vae_encoder,
+                         safety_checker=safety_checker,
+                         controlnets=controlnets,
+                         scheduler_config=scheduler_config)
+        self.tokenizer2 = tokenizer2
+        self.text_encoder2, self.text_encoder2_params = text_encoder2
+        self.refiner_unet, self.refiner_unet_params = refiner_unet or (None, None)
+        self.force_zeros_for_empty_prompt = force_zeros_for_empty_prompt
+
+    # -- text -----------------------------------------------------------------
+
+    def _tokenize(self, cfg: PipelineConfiguration):
+        out = {}
+        if self.text_encoder is not None:
+            pos1, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
+            neg1, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
+            out["ids"] = np.stack([neg1, pos1])
+        pos2, _ = self.tokenizer2.tokenize(cfg.prompt, max_length=TEXT_LEN)
+        neg2, _ = self.tokenizer2.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
+        out["ids2"] = np.stack([neg2, pos2])
+        # static flag: zero out empty negative embeddings (pipeline.py:183-187)
+        out["zero_negative"] = np.asarray(
+            self.force_zeros_for_empty_prompt and cfg.negative_prompt == "")
+        return out
+
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
+        out2 = self.text_encoder2.apply(
+            {"params": self.text_encoder2_params}, token_inputs["ids2"])
+        ctx2 = out2["penultimate_hidden_state"]
+        pooled = out2["pooled_output"]
+        if self.text_encoder is not None:
+            out1 = self.text_encoder.apply(
+                {"params": self.text_encoder_params}, token_inputs["ids"])
+            ctx1 = out1["penultimate_hidden_state"]
+            # concat [1,77,768]+[1,77,1280] -> 2048 (XLPipeline:285-313)
+            ctx = jnp.concatenate([ctx1, ctx2], axis=-1)
+        else:
+            ctx = ctx2
+        zero_neg = token_inputs["zero_negative"]
+        neg_mask = jnp.where(zero_neg, 0.0, 1.0)
+        ctx = ctx.at[0].multiply(neg_mask)
+        pooled = pooled.at[0].multiply(neg_mask)
+        return {"context": ctx, "context2": ctx2, "pooled": pooled}
+
+    # -- phases -----------------------------------------------------------------
+
+    def _refiner_cut(self, cfg: PipelineConfiguration, num_steps: int) -> int:
+        if self.refiner_unet is None:
+            return num_steps
+        return min(num_steps, max(0, int(cfg.refiner_start * num_steps)))
+
+    def _denoise_phases(self, cfg: PipelineConfiguration, num_steps: int):
+        cut = self._refiner_cut(cfg, num_steps)
+        phases = []
+        if cut > 0:
+            phases.append((0, cut, self._call_unet))
+        if cut < num_steps:
+            phases.append((cut, num_steps, self._call_refiner))
+        return phases
+
+    def _call_refiner(self, latents, t, context, added_cond, down_res, mid_res):
+        return self.refiner_unet.apply(
+            {"params": self.refiner_unet_params}, latents, t, context,
+            added_cond=added_cond, down_block_residuals=down_res,
+            mid_block_residual=mid_res)
+
+    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
+        # refiner phase iff this phase calls the refiner
+        phases = self._denoise_phases(cfg, 1 << 30)
+        is_refiner = phases[phase_idx][2] == self._call_refiner
+
+        ctx = text["context2"] if is_refiner else text["context"]
+        ctx_neg = jnp.repeat(ctx[0:1], N, axis=0)
+        ctx_pos = jnp.repeat(ctx[1:2], N, axis=0)
+        pooled = text["pooled"]
+
+        H = W = None
+        osz = cfg.original_size or (1024, 1024)
+        tsz = cfg.target_size or (1024, 1024)
+        crop = cfg.crops_coords_top_left
+        if is_refiner:
+            # size+crop+aestheticScore, [2,5] (XLPipeline:326-344)
+            ids_pos = [osz[0], osz[1], crop[0], crop[1], cfg.aesthetic_score]
+            ids_neg = [osz[0], osz[1], crop[0], crop[1],
+                       cfg.negative_aesthetic_score]
+        else:
+            # size+crop+targetSize (XLPipeline:346-358)
+            ids_pos = [osz[0], osz[1], crop[0], crop[1], tsz[0], tsz[1]]
+            ids_neg = ids_pos
+        time_ids_pos = jnp.broadcast_to(
+            jnp.asarray(ids_pos, jnp.float32), (N, len(ids_pos)))
+        time_ids_neg = jnp.broadcast_to(
+            jnp.asarray(ids_neg, jnp.float32), (N, len(ids_neg)))
+        added_neg = {"text_embeds": jnp.repeat(pooled[0:1], N, axis=0),
+                     "time_ids": time_ids_neg}
+        added_pos = {"text_embeds": jnp.repeat(pooled[1:2], N, axis=0),
+                     "time_ids": time_ids_pos}
+        return ctx_neg, ctx_pos, added_neg, added_pos
+
+    def _conditioning_cache_key(self, cfg):
+        return (cfg.original_size, cfg.target_size, cfg.crops_coords_top_left,
+                cfg.aesthetic_score, cfg.negative_aesthetic_score,
+                round(cfg.refiner_start, 4), cfg.negative_prompt == "")
