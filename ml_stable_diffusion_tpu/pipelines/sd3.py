@@ -1,0 +1,114 @@
+"""SD3 pipeline (MMDiT + triple text encoders + rectified flow).
+
+Capability parity with the reference's StableDiffusion3Pipeline.swift:
+- CLIP-L + CLIP-G + optional T5 (:16-18); prompt embedding = concat(L,G) ->
+  zero-pad 2048->4096 -> concat T5 along sequence (:213-249, giving
+  [B, 77+T5_len, 4096]); pooled = concat(projected L, projected G) = 2048
+  (:261-264)
+- DiscreteFlowScheduler only, float timesteps (:131-133, :153)
+- SD3 latent scale 1.5305 / shift 0.0609 (main.swift:137-139)
+- 16-channel VAE (VAEConfig.sd3())
+- latent->RGB preview path (decodePreviewImage :327-394) via
+  utils.latent_preview
+
+Note: the reference concatenates [pos, neg] with matching reversed guidance
+(:258, :293-310).  Internally we keep the [neg, pos] convention used by the
+SD/XL paths — the guidance arithmetic is identical.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers import DiscreteFlowScheduler
+from .config import PipelineConfiguration
+from .sd import TEXT_LEN, StableDiffusionPipeline
+
+
+class StableDiffusion3Pipeline(StableDiffusionPipeline):
+    default_latent_scale = 1.5305
+    default_latent_shift = 0.0609
+    latent_channels = 16
+
+    def __init__(self, *, tokenizer, tokenizer2, t5_tokenizer=None,
+                 text_encoder, text_encoder2, t5_encoder=None, mmdit,
+                 vae_decoder, vae_encoder=None, safety_checker=None,
+                 scheduler_config=None, t5_sequence_length: int = 77):
+        super().__init__(tokenizer=tokenizer, text_encoder=text_encoder,
+                         unet=mmdit, vae_decoder=vae_decoder,
+                         vae_encoder=vae_encoder,
+                         safety_checker=safety_checker,
+                         scheduler_config=scheduler_config)
+        self.tokenizer2 = tokenizer2
+        self.t5_tokenizer = t5_tokenizer
+        self.text_encoder2, self.text_encoder2_params = text_encoder2
+        self.t5_encoder, self.t5_encoder_params = t5_encoder or (None, None)
+        self.t5_sequence_length = t5_sequence_length
+        self.context_dim = self.unet.config.context_dim
+
+    # -- scheduler: rectified flow only (reference :131-133) --------------------
+
+    def _make_scheduler(self, cfg: PipelineConfiguration):
+        if cfg.scheduler == "PNDM":  # the config default -> family default
+            cfg.scheduler = "DiscreteFlow"
+        if cfg.scheduler not in ("DiscreteFlow",):
+            raise ValueError("SD3 supports only the DiscreteFlow scheduler "
+                             "(reference StableDiffusion3Pipeline.swift:131-133)")
+        return DiscreteFlowScheduler(self.scheduler_config,
+                                     shift=cfg.timestep_shift)
+
+    # -- text --------------------------------------------------------------------
+
+    def _tokenize(self, cfg: PipelineConfiguration):
+        pos1, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
+        neg1, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
+        pos2, _ = self.tokenizer2.tokenize(cfg.prompt, max_length=TEXT_LEN)
+        neg2, _ = self.tokenizer2.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
+        out = {"ids": np.stack([neg1, pos1]), "ids2": np.stack([neg2, pos2])}
+        if self.t5_encoder is not None:
+            L = self.t5_sequence_length
+            pos_t5, pos_m = self.t5_tokenizer.tokenize(cfg.prompt, max_length=L)
+            neg_t5, neg_m = self.t5_tokenizer.tokenize(cfg.negative_prompt,
+                                                       max_length=L)
+            out["ids_t5"] = np.stack([neg_t5, pos_t5])
+            out["mask_t5"] = np.stack([neg_m, pos_m])
+        return out
+
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
+        out1 = self.text_encoder.apply(
+            {"params": self.text_encoder_params}, token_inputs["ids"])
+        out2 = self.text_encoder2.apply(
+            {"params": self.text_encoder2_params}, token_inputs["ids2"])
+        clip_ctx = jnp.concatenate([out1["penultimate_hidden_state"],
+                                    out2["penultimate_hidden_state"]], axis=-1)
+        # zero-pad the CLIP context up to the MMDiT context width (:224-240)
+        pad = self.context_dim - clip_ctx.shape[-1]
+        clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        if self.t5_encoder is not None:
+            t5 = self.t5_encoder.apply({"params": self.t5_encoder_params},
+                                       token_inputs["ids_t5"],
+                                       token_inputs["mask_t5"])
+            ctx = jnp.concatenate([clip_ctx, t5["encoder_hidden_states"]], axis=1)
+        else:
+            ctx = clip_ctx
+        pooled = jnp.concatenate([out1["pooled_output"],
+                                  out2["pooled_output"]], axis=-1)
+        return {"context": ctx, "pooled": pooled}
+
+    # -- denoiser ------------------------------------------------------------------
+
+    def _call_unet(self, latents, t, context, added_cond, down_res, mid_res):
+        return self.unet.apply({"params": self.unet_params}, latents, t,
+                               context, added_cond["pooled"])
+
+    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
+        ctx = text["context"]
+        pooled = text["pooled"]
+        return (jnp.repeat(ctx[0:1], N, axis=0),
+                jnp.repeat(ctx[1:2], N, axis=0),
+                {"pooled": jnp.repeat(pooled[0:1], N, axis=0)},
+                {"pooled": jnp.repeat(pooled[1:2], N, axis=0)})
+
+    def _conditioning_cache_key(self, cfg):
+        return (self.t5_encoder is not None,)

@@ -1,0 +1,106 @@
+"""T5 encoder parity vs transformers + MMDiT structural tests."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.convert.report import report_correctness
+from ml_stable_diffusion_tpu.convert.t5 import port_t5_encoder
+from ml_stable_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+from ml_stable_diffusion_tpu.models.t5 import (
+    T5Config,
+    T5Encoder,
+    relative_position_buckets,
+)
+
+TINY_T5 = T5Config(vocab_size=512, d_model=64, d_kv=16, d_ff=128,
+                   num_layers=3, num_heads=4)
+
+
+def test_t5_parity_with_transformers():
+    tcfg = transformers.T5Config(
+        vocab_size=512, d_model=64, d_kv=16, d_ff=128, num_layers=3,
+        num_heads=4, feed_forward_proj="gated-gelu", is_encoder_decoder=False,
+        use_cache=False, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    tm = transformers.T5EncoderModel(tcfg).eval()
+    params = port_t5_encoder(tm.state_dict(), TINY_T5)
+    model = T5Encoder(TINY_T5)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 500, size=(2, 19)).astype(np.int64)
+    mask = np.ones((2, 19), np.int64)
+    mask[1, 12:] = 0
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask)).last_hidden_state
+    out = model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    # masked positions differ (HF zeroes nothing but attends nothing);
+    # compare only unmasked positions
+    o = np.asarray(out["encoder_hidden_states"])[mask.astype(bool)]
+    r = ref.numpy()[mask.astype(bool)]
+    report_correctness(o, r, "t5.encoder_hidden_states")
+
+
+def test_relative_buckets_properties():
+    b = relative_position_buckets(16, 16, 32, 128)
+    assert b.shape == (16, 16)
+    assert b.min() >= 0 and b.max() < 32
+    assert b[0, 0] == 0  # same position
+    # future vs past use different bucket halves
+    assert b[0, 5] >= 16 and b[5, 0] < 16
+
+
+TINY_MMDIT = MMDiTConfig(patch_size=2, in_channels=4, out_channels=4, depth=3,
+                         hidden_size=48, num_heads=4, context_dim=32,
+                         pooled_dim=24, pos_embed_max_size=16)
+
+
+def test_mmdit_forward_shapes():
+    model = MMDiT(TINY_MMDIT)
+    lat = jnp.zeros((2, 16, 16, 4))
+    ctx = jnp.zeros((2, 10, 32))
+    pooled = jnp.zeros((2, 24))
+    t = jnp.asarray([500.0, 500.0])
+    params = jax.jit(model.init)(jax.random.key(0), lat, t, ctx, pooled)
+    out = jax.jit(lambda p, l: model.apply(p, l, t, ctx, pooled))(params, lat)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmdit_resolution_flexibility():
+    """Cropped pos-embed must serve multiple resolutions with one param set."""
+    model = MMDiT(TINY_MMDIT)
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 10, 32))
+    pooled = jnp.zeros((1, 24))
+    params = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 16, 16, 4)),
+                                 t, ctx, pooled)
+    for hw in (8, 16, 24):
+        out = model.apply(params, jnp.zeros((1, hw, hw, 4)), t, ctx, pooled)
+        assert out.shape == (1, hw, hw, 4)
+
+
+def test_mmdit_conditioning_sensitivity():
+    model = MMDiT(TINY_MMDIT)
+    t = jnp.asarray([100.0])
+    rng = np.random.RandomState(0)
+    lat = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    ctx = jnp.asarray(rng.randn(1, 10, 32), jnp.float32)
+    pooled = jnp.asarray(rng.randn(1, 24), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), lat, t, ctx, pooled)
+    base = model.apply(params, lat, t, ctx, pooled)
+    # context change must propagate through joint attention
+    out2 = model.apply(params, lat, t, ctx * 2.0, pooled)
+    assert np.abs(np.asarray(out2 - base)).max() > 1e-6
+    # pooled change must propagate through adaLN
+    out3 = model.apply(params, lat, t, ctx, pooled * 2.0)
+    assert np.abs(np.asarray(out3 - base)).max() > 1e-6
+    # timestep change
+    out4 = model.apply(params, lat, jnp.asarray([900.0]), ctx, pooled)
+    assert np.abs(np.asarray(out4 - base)).max() > 1e-6
