@@ -1,0 +1,130 @@
+"""W8A8 post-training activation quantization.
+
+TPU-native port of the reference's activation_quantization.py:
+- calibration capture: record per-layer input-activation absmax over
+  calibration prompts (reference generate_calibration_data :258 records UNet
+  inputs via forward-pre-hooks; here a flax method interceptor records the
+  inputs of every Dense module — no model changes needed)
+- per-layer sensitivity + cumulative quantization with skip lists
+  (quantize_module_config :121 / quantize_cumulative_config :141; the
+  reference's recipe overrides for speed/quality :217-243 map to
+  ``skip_patterns``)
+- simulation: symmetric per-tensor int8 activations + per-channel int8
+  weights, fake-quantized in place for PSNR measurement
+- serving: ops/int8.py provides the real int8 MXU matmul taking the scales
+  computed here.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.report import compute_psnr
+
+logger = logging.getLogger(__name__)
+
+#: modules whose inputs the reference never quantizes (quality recipe,
+#: activation_quantization.py:231-243: never quantize to_out after concat)
+DEFAULT_SKIP_PATTERNS = ("to_out_0",)
+
+
+def _path_str(module: nn.Module) -> str:
+    return "/".join(module.path)
+
+
+def capture_activation_scales(apply_fn: Callable, calibration_inputs,
+                              module_types=(nn.Dense,)) -> dict[str, float]:
+    """Run calibration batches, recording per-module input absmax.
+
+    ``apply_fn(inputs)`` must execute the model's apply under this context;
+    returns {module_path: absmax}.
+    """
+    scales: dict[str, float] = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, module_types)
+                and context.method_name == "__call__" and args):
+            x = args[0]
+            if hasattr(x, "astype"):
+                key = _path_str(context.module)
+                amax = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+                scales[key] = max(scales.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    for inputs in calibration_inputs:
+        with nn.intercept_methods(interceptor):
+            apply_fn(inputs)
+    return scales
+
+
+def fake_quantize_int8(x, amax: float):
+    """Symmetric per-tensor int8 fake quantization."""
+    scale = max(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127)
+    return q * scale
+
+
+def fake_quantize_weight_int8(w):
+    """Per-output-channel symmetric int8 (last axis = output features)."""
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.clip(jnp.round(w / scale), -127, 127) * scale
+
+
+def w8a8_interceptor(act_scales: dict[str, float],
+                     quantize_paths: set[str] | None = None,
+                     skip_patterns: Sequence[str] = DEFAULT_SKIP_PATTERNS):
+    """A flax interceptor that simulates W8A8 on selected Dense modules."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, nn.Dense)
+                and context.method_name == "__call__" and args):
+            key = _path_str(context.module)
+            selected = quantize_paths is None or key in quantize_paths
+            skipped = any(p in key for p in skip_patterns)
+            if selected and not skipped and key in act_scales:
+                x = fake_quantize_int8(args[0], act_scales[key])
+                kernel = context.module.variables["params"]["kernel"]
+                qkernel = fake_quantize_weight_int8(kernel)
+                y = x @ qkernel.astype(x.dtype)
+                if context.module.use_bias:
+                    y = y + context.module.variables["params"]["bias"].astype(x.dtype)
+                return y
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def quantizable_dense_paths(act_scales: dict[str, float],
+                            skip_patterns=DEFAULT_SKIP_PATTERNS) -> list[str]:
+    return [k for k in sorted(act_scales)
+            if not any(p in k for p in skip_patterns)]
+
+
+def benchmark_w8a8(run_fn: Callable, act_scales: dict[str, float],
+                   paths: list[str] | None = None,
+                   cumulative: bool = True) -> dict[str, float]:
+    """PSNR impact of quantizing layers singly or cumulatively.
+
+    ``run_fn(interceptor | None) -> latent ndarray`` executes the pipeline
+    under the given interceptor (None = reference fp output).
+    """
+    if paths is None:
+        paths = quantizable_dense_paths(act_scales)
+    ref = np.asarray(run_fn(None))
+    results = {}
+    active: set[str] = set()
+    for key in paths:
+        probe = set(active) | {key} if cumulative else {key}
+        out = np.asarray(run_fn(w8a8_interceptor(act_scales, probe)))
+        psnr = compute_psnr(out, ref)
+        results[key] = round(psnr, 2)
+        if cumulative:
+            active.add(key)
+        logger.info("w8a8 %s: %.1f dB", key, psnr)
+    return results

@@ -1,0 +1,194 @@
+"""Compression suite tests: palettization quality, MBP recipes, W8A8,
+serving ops."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+from ml_stable_diffusion_tpu.compress import (
+    NBITS,
+    apply_recipe,
+    benchmark_signal_integrity,
+    build_recipe,
+    dequantize_tree,
+    palettize_tree,
+    palettize_weights,
+)
+from ml_stable_diffusion_tpu.compress.mixed_bit import (
+    descending_psnr_order,
+    palettizable_paths,
+    recipe_average_bits,
+)
+from ml_stable_diffusion_tpu.compress.palettize import (
+    PalettizedTensor,
+    palettize_array,
+)
+from ml_stable_diffusion_tpu.compress.w8a8 import (
+    benchmark_w8a8,
+    capture_activation_scales,
+    w8a8_interceptor,
+)
+from ml_stable_diffusion_tpu.convert.report import compute_psnr
+from ml_stable_diffusion_tpu.ops.int8 import int8_dense, quantize_weight_int8
+from ml_stable_diffusion_tpu.ops.palettized import (
+    pack_4bit,
+    palettized_dense,
+    unpack_4bit,
+)
+
+
+def test_palettize_array_quality_ladder():
+    rng = np.random.RandomState(0)
+    w = rng.randn(256, 512).astype(np.float32)
+    psnrs = []
+    for nbits in (2, 4, 6, 8):
+        pt = palettize_array(w, nbits)
+        assert pt.lut.shape == (2 ** nbits,)
+        assert pt.indices.max() < 2 ** nbits
+        psnrs.append(compute_psnr(pt.dequantize(), w))
+    # more bits -> strictly better reconstruction
+    assert psnrs == sorted(psnrs)
+    assert psnrs[-1] > 40  # 8-bit of a gaussian is high fidelity
+    assert psnrs[1] > 20   # 4-bit decent
+
+
+def test_palettize_tree_selects_large_kernels():
+    params = {
+        "big": {"kernel": np.random.RandomState(0).randn(400, 300).astype(np.float32)},
+        "small": {"kernel": np.zeros((4, 4), np.float32)},
+        "tok": {"embedding": np.random.RandomState(1).randn(500, 300).astype(np.float32)},
+        "norm": {"scale": np.ones(300, np.float32)},
+    }
+    tree, stats = palettize_tree(params, nbits=4, min_size=1000)
+    assert isinstance(tree["big"]["kernel"], PalettizedTensor)
+    assert not isinstance(tree["small"]["kernel"], PalettizedTensor)
+    assert not isinstance(tree["tok"]["embedding"], PalettizedTensor)  # gather skip
+    assert stats["palettized"] == 1
+    assert stats["new_bytes"] < stats["orig_bytes"]
+    dense = dequantize_tree(tree)
+    assert dense["big"]["kernel"].shape == (400, 300)
+
+
+def test_palettize_weights_compression_ratio():
+    params = {"w": {"kernel": np.random.RandomState(0).randn(512, 512).astype(np.float32)}}
+    _, stats = palettize_weights(params, nbits=4, min_size=1000)
+    # 16 bit -> ~4 bit: ~4x on the palettized tensor
+    assert stats["new_bytes"] * 3 < stats["orig_bytes"]
+
+
+class _ToyModel(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(64, name="lay1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(64, name="lay2")(x)
+        x = nn.relu(x)
+        return nn.Dense(8, name="to_out_0")(x)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    model = _ToyModel()
+    x = jnp.asarray(np.random.RandomState(0).randn(16, 32), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    # make kernels big enough to be palettizable at a low threshold
+    return model, params, x
+
+
+def test_mbp_sweep_and_recipe(toy, tmp_path):
+    model, params, x = toy
+
+    def run_fn(p):
+        return model.apply({"params": p}, x)
+
+    paths = palettizable_paths(params, min_size=1000)
+    assert ("lay1", "kernel") in paths and ("lay2", "kernel") in paths
+
+    out_json = tmp_path / "mbp.json"
+    res = benchmark_signal_integrity(run_fn, params, nbits_list=(2, 8),
+                                     paths=paths, out_json=out_json)
+    assert out_json.exists()
+    loaded = json.loads(out_json.read_text())
+    assert loaded["single_layer"] == res["single_layer"]
+    for key, by_bits in res["single_layer"].items():
+        assert by_bits["8"] >= by_bits["2"]
+
+    recipe = build_recipe(res["single_layer"], psnr_threshold=40.0)
+    assert set(recipe) == {"/".join(p) for p in paths}
+    avg = recipe_average_bits(recipe, params)
+    assert 1 <= avg <= 16
+
+    compressed = apply_recipe(params, recipe)
+    psnr = compute_psnr(np.asarray(run_fn(compressed)), np.asarray(run_fn(params)))
+    assert psnr >= 30  # threshold 40 per layer -> combined still high
+
+    order = descending_psnr_order(res["single_layer"], nbits=2)
+    assert len(order) == len(paths)
+
+    cum = benchmark_signal_integrity(run_fn, params, nbits_list=(8,),
+                                     paths=paths, cumulative=True)
+    vals = list(cum["cumulative"]["8"].values())
+    assert len(vals) == len(paths)
+
+
+def test_w8a8_capture_and_simulation(toy):
+    model, params, x = toy
+
+    def apply_fn(inputs):
+        return model.apply({"params": params}, inputs)
+
+    scales = capture_activation_scales(apply_fn, [x, x * 2.0])
+    assert set(scales) == {"lay1", "lay2", "to_out_0"}
+    assert scales["lay1"] == pytest.approx(float(jnp.abs(x * 2).max()), rel=1e-5)
+
+    ref = model.apply({"params": params}, x)
+    with nn.intercept_methods(w8a8_interceptor(scales)):
+        out = model.apply({"params": params}, x)
+    psnr = compute_psnr(np.asarray(out), np.asarray(ref))
+    assert psnr > 25  # int8 sim close to fp
+    assert np.abs(np.asarray(out - ref)).max() > 0  # actually quantized
+
+    def run_fn(interceptor):
+        if interceptor is None:
+            return model.apply({"params": params}, x)
+        with nn.intercept_methods(interceptor):
+            return model.apply({"params": params}, x)
+
+    res = benchmark_w8a8(run_fn, scales, cumulative=True)
+    assert set(res) == {"lay1", "lay2"}  # to_out_0 skipped by default
+
+
+def test_int8_dense_op():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 16), jnp.float32)
+    wq, ws = quantize_weight_int8(w)
+    assert wq.dtype == jnp.int8
+    y = int8_dense(x, wq, ws, x_amax=float(jnp.abs(x).max()))
+    ref = x @ w
+    assert compute_psnr(np.asarray(y), np.asarray(ref)) > 25
+
+
+def test_palettized_dense_op():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 64), jnp.float32)
+    w = rng.randn(64, 32).astype(np.float32)
+    pt = palettize_array(w, 4)
+    # full uint8 path
+    y = palettized_dense(x, jnp.asarray(pt.indices), jnp.asarray(pt.lut),
+                         pt.shape)
+    ref = x @ pt.dequantize()
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+    # packed 4-bit path
+    packed = pack_4bit(pt.indices)
+    assert packed.size == pt.indices.size // 2
+    y2 = palettized_dense(x, jnp.asarray(packed), jnp.asarray(pt.lut), pt.shape)
+    np.testing.assert_allclose(np.asarray(y2), ref, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_4bit(jnp.asarray(packed), pt.indices.size)),
+        pt.indices)
