@@ -1,0 +1,244 @@
+"""Checkpoint loading: HF-diffusers-layout directories -> TPU pipelines.
+
+The TPU analog of the reference's conversion driver + pipeline assembly
+(torch2coreml.py get_pipeline :1485-1513 incl. custom-VAE override :1489,
+pipeline.py get_coreml_pipe :607-698): reads ``model_index.json`` to pick the
+family, parses each submodule's diffusers ``config.json`` into our configs,
+loads (possibly sharded) safetensors state dicts, and ports them into Flax
+pytrees.  Works fully offline on a local checkout — there is no network
+dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+import jax.numpy as jnp
+
+from ..models.clip import CLIPTextConfig, CLIPTextEncoder
+from ..models.mmdit import MMDiT, MMDiTConfig
+from ..models.t5 import T5Config, T5Encoder
+from ..models.unet import UNetConfig, UNet2DConditionModel
+from ..models.vae import VAEConfig, VAEDecoder, VAEEncoder
+from ..tokenizer import CLIPTokenizer
+from .clip import port_clip_text_encoder
+from .t5 import port_t5_encoder
+from .unet import port_unet
+from .vae import port_vae_decoder, port_vae_encoder
+
+logger = logging.getLogger(__name__)
+
+
+def load_safetensors_state_dict(module_dir: str | Path) -> dict:
+    """Load a (possibly sharded) diffusers-layout safetensors state dict."""
+    from safetensors.numpy import load_file
+
+    module_dir = Path(module_dir)
+    index = None
+    for cand in module_dir.glob("*.safetensors.index.json"):
+        index = json.loads(cand.read_text())
+        break
+    sd = {}
+    if index is not None:
+        for fname in sorted(set(index["weight_map"].values())):
+            sd.update(load_file(str(module_dir / fname)))
+    else:
+        files = sorted(module_dir.glob("*.safetensors"))
+        if not files:
+            raise FileNotFoundError(f"no safetensors in {module_dir}")
+        for f in files:
+            sd.update(load_file(str(f)))
+    return sd
+
+
+def _config_json(module_dir: Path) -> dict:
+    return json.loads((module_dir / "config.json").read_text())
+
+
+def unet_config_from_diffusers(cfg: dict) -> UNetConfig:
+    n = len(cfg["block_out_channels"])
+
+    def per_block(v, default):
+        v = cfg.get(v, default)
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,) * n
+
+    # diffusers' attention_head_dim is historically the HEAD COUNT for the
+    # SD family (num_attention_heads when that key is absent)
+    heads = cfg.get("num_attention_heads") or cfg["attention_head_dim"]
+    heads = tuple(heads) if isinstance(heads, (list, tuple)) else (heads,) * n
+    return UNetConfig(
+        in_channels=cfg["in_channels"],
+        out_channels=cfg["out_channels"],
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        down_block_types=tuple(cfg["down_block_types"]),
+        up_block_types=tuple(cfg["up_block_types"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        transformer_layers_per_block=per_block("transformer_layers_per_block", 1),
+        num_attention_heads=heads,
+        cross_attention_dim=cfg["cross_attention_dim"],
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
+        freq_shift=cfg.get("freq_shift", 0),
+        addition_embed_type=cfg.get("addition_embed_type"),
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
+        projection_class_embeddings_input_dim=cfg.get(
+            "projection_class_embeddings_input_dim", 2816),
+    )
+
+
+def vae_config_from_diffusers(cfg: dict) -> VAEConfig:
+    return VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        use_quant_conv=cfg.get("use_quant_conv", True),
+    )
+
+
+def clip_config_from_diffusers(cfg: dict, with_projection: bool = False) -> CLIPTextConfig:
+    return CLIPTextConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        max_position_embeddings=cfg.get("max_position_embeddings", 77),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        eos_token_id=cfg.get("eos_token_id", 49407),
+        use_text_projection=with_projection,
+        projection_dim=cfg.get("projection_dim", 1280),
+    )
+
+
+def t5_config_from_diffusers(cfg: dict) -> T5Config:
+    return T5Config(
+        vocab_size=cfg["vocab_size"],
+        d_model=cfg["d_model"],
+        d_kv=cfg["d_kv"],
+        d_ff=cfg["d_ff"],
+        num_layers=cfg["num_layers"],
+        num_heads=cfg["num_heads"],
+    )
+
+
+def _is_projection_encoder(module_dir: Path) -> bool:
+    cfg = _config_json(module_dir)
+    return "CLIPTextModelWithProjection" in (cfg.get("architectures") or [])
+
+
+def load_text_encoder(module_dir: str | Path, dtype=jnp.float32,
+                      with_projection: bool | None = None):
+    module_dir = Path(module_dir)
+    if with_projection is None:
+        with_projection = _is_projection_encoder(module_dir)
+    cfg = clip_config_from_diffusers(_config_json(module_dir), with_projection)
+    sd = load_safetensors_state_dict(module_dir)
+    params = port_clip_text_encoder(sd, cfg)
+    return CLIPTextEncoder(cfg, dtype=dtype), params
+
+
+def load_unet(module_dir: str | Path, dtype=jnp.bfloat16):
+    module_dir = Path(module_dir)
+    cfg = unet_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    params = port_unet(sd, cfg)
+    if dtype == jnp.bfloat16:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if hasattr(x, "astype") else x, params)
+    return UNet2DConditionModel(cfg, dtype=dtype), params
+
+
+def load_vae(module_dir: str | Path, dtype=jnp.float32):
+    module_dir = Path(module_dir)
+    cfg = vae_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    dec = (VAEDecoder(cfg, dtype=dtype), port_vae_decoder(sd, cfg))
+    enc = (VAEEncoder(cfg, dtype=dtype), port_vae_encoder(sd, cfg))
+    return dec, enc
+
+
+def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
+    module_dir = Path(module_dir)
+    cfg = t5_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    return T5Encoder(cfg, dtype=dtype), port_t5_encoder(sd, cfg)
+
+
+def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
+                  compute_dtype=jnp.bfloat16):
+    """Assemble a pipeline from a diffusers-layout checkpoint directory.
+
+    Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
+    ``custom_vae_dir`` overrides the bundled VAE (reference --custom-vae-version,
+    torch2coreml.py:1489-1513).
+    """
+    from ..pipelines.sd import StableDiffusionPipeline
+    from ..pipelines.sdxl import StableDiffusionXLPipeline
+
+    root = Path(checkpoint_dir)
+    index = json.loads((root / "model_index.json").read_text())
+    family = index["_class_name"]
+
+    tok = CLIPTokenizer.from_pretrained_dir(root / "tokenizer")
+    vae_dir = Path(custom_vae_dir) if custom_vae_dir else root / "vae"
+    dec, enc = load_vae(vae_dir)
+
+    if "XL" in family:
+        tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
+                                                 pad_token="!")
+        te = (load_text_encoder(root / "text_encoder")
+              if (root / "text_encoder").exists() else None)
+        te2 = load_text_encoder(root / "text_encoder_2", with_projection=True)
+        unet = load_unet(root / "unet", dtype=compute_dtype)
+        refiner = None
+        return StableDiffusionXLPipeline(
+            tokenizer=tok, tokenizer2=tok2, text_encoder=te,
+            text_encoder2=te2, unet=unet, refiner_unet=refiner,
+            vae_decoder=dec, vae_encoder=enc)
+    if "StableDiffusion3" in family:
+        from ..pipelines.sd3 import StableDiffusion3Pipeline
+        from ..tokenizer.t5 import T5Tokenizer
+
+        tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
+                                                 pad_token="!")
+        te = load_text_encoder(root / "text_encoder", with_projection=True)
+        te2 = load_text_encoder(root / "text_encoder_2", with_projection=True)
+        t5 = t5_tok = None
+        if (root / "text_encoder_3").exists():
+            t5 = load_t5(root / "text_encoder_3", dtype=compute_dtype)
+            t5_tok = T5Tokenizer(root / "tokenizer_3" / "tokenizer.json")
+        mmdit_dir = root / "transformer"
+        mcfg_json = _config_json(mmdit_dir)
+        mcfg = MMDiTConfig(
+            patch_size=mcfg_json.get("patch_size", 2),
+            in_channels=mcfg_json.get("in_channels", 16),
+            out_channels=mcfg_json.get("out_channels", 16),
+            depth=mcfg_json["num_layers"],
+            hidden_size=(mcfg_json.get("attention_head_dim", 64)
+                         * mcfg_json["num_attention_heads"]),
+            num_heads=mcfg_json["num_attention_heads"],
+            context_dim=mcfg_json.get("joint_attention_dim", 4096),
+            pooled_dim=mcfg_json.get("pooled_projection_dim", 2048),
+            pos_embed_max_size=mcfg_json.get("pos_embed_max_size", 192),
+            qk_norm=mcfg_json.get("qk_norm") is not None,
+        )
+        from .mmdit import port_mmdit
+
+        sd = load_safetensors_state_dict(mmdit_dir)
+        mmdit = (MMDiT(mcfg, dtype=compute_dtype), port_mmdit(sd, mcfg))
+        return StableDiffusion3Pipeline(
+            tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
+            text_encoder=te, text_encoder2=te2, t5_encoder=t5,
+            mmdit=mmdit, vae_decoder=dec, vae_encoder=enc)
+
+    te = load_text_encoder(root / "text_encoder")
+    unet = load_unet(root / "unet", dtype=compute_dtype)
+    return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
+                                   vae_decoder=dec, vae_encoder=enc)

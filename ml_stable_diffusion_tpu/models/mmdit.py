@@ -80,9 +80,10 @@ class JointTransformerBlock(nn.Module):
         mod_x = nn.Dense(6 * D, dtype=self.dtype, name="norm1_linear")(nn.silu(c))
         (sh1, sc1, g1, sh2, sc2, g2) = jnp.split(mod_x, 6, axis=-1)
         if self.context_pre_only:
+            # AdaLayerNormContinuous convention: [scale, shift]
             mod_c = nn.Dense(2 * D, dtype=self.dtype, name="norm1_context_linear")(
                 nn.silu(c))
-            csh1, csc1 = jnp.split(mod_c, 2, axis=-1)
+            csc1, csh1 = jnp.split(mod_c, 2, axis=-1)
             cg1 = csh2 = csc2 = cg2 = None
         else:
             mod_c = nn.Dense(6 * D, dtype=self.dtype, name="norm1_context_linear")(
@@ -184,9 +185,9 @@ class MMDiT(nn.Module):
                 cfg, context_pre_only=(i == cfg.depth - 1), dtype=self.dtype,
                 name=f"blocks_{i}")(x, ctx, c)
 
-        # final adaLN + projection (AdaLayerNormContinuous)
+        # final adaLN + projection (AdaLayerNormContinuous: [scale, shift])
         mod = nn.Dense(2 * D, dtype=self.dtype, name="norm_out_linear")(nn.silu(c))
-        shift, scale = jnp.split(mod, 2, axis=-1)
+        scale, shift = jnp.split(mod, 2, axis=-1)
         x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          dtype=self.dtype, name="norm_out")(x)
         x = _modulate(x, shift, scale)

@@ -82,3 +82,46 @@ def tiny_vae():
     enc = VAEEncoder(cfg)
     enc_params = jax.jit(enc.init)(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))["params"]
     return (dec, dec_params), (enc, enc_params)
+
+
+def flax_params_to_diffusers_sd(params, kind):
+    """Invert the port mapping: flax params -> synthetic diffusers-layout
+    numpy state dict.  kind in {"unet", "vae_encoder", "vae_decoder"}."""
+    import jax
+
+    sd = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [p.key for p in path]
+        mod = "/".join(keys[:-1])
+        name = (mod
+                .replace("down_blocks_", "down_blocks.")
+                .replace("up_blocks_", "up_blocks.")
+                .replace("mid_block_resnets_", "mid_block.resnets.")
+                .replace("mid_block_attentions_", "mid_block.attentions.")
+                .replace("mid_block/resnets_", "mid_block/resnets.")
+                .replace("mid_block/attentions_0", "mid_block/attentions.0")
+                .replace("_resnets_", ".resnets.")
+                .replace("_attentions_", ".attentions.")
+                .replace("_downsamplers_0_conv", ".downsamplers.0.conv")
+                .replace("_downsamplers_0", ".downsamplers.0")
+                .replace("_upsamplers_0_conv", ".upsamplers.0.conv")
+                .replace("_upsamplers_0", ".upsamplers.0")
+                .replace("transformer_blocks_", "transformer_blocks.")
+                .replace("to_out_0", "to_out.0")
+                .replace("geglu_proj", "net.0.proj")
+                .replace("ff/proj_out", "ff/net.2")
+                .replace("/", "."))
+        if kind == "vae_encoder":
+            name = name if name.startswith("quant_conv") else "encoder." + name
+        elif kind == "vae_decoder":
+            name = name if name.startswith("post_quant_conv") else "decoder." + name
+        leafname = keys[-1]
+        v = np.asarray(leaf)
+        if leafname == "kernel":
+            w = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+            sd[name + ".weight"] = np.ascontiguousarray(w)
+        elif leafname == "scale":
+            sd[name + ".weight"] = np.ascontiguousarray(v)
+        else:
+            sd[name + ".bias"] = np.ascontiguousarray(v)
+    return sd
