@@ -1,0 +1,71 @@
+"""Benchmark CLI: warmup + median-of-N latency, benchmark.json emitter
+(pattern: reference test_end_to_end_image_generation_speed,
+tests/test_stable_diffusion.py:95-115 writes benchmark.json with medians)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import statistics
+import time
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def parser_spec():
+    p = argparse.ArgumentParser("sdtpu-benchmark")
+    p.add_argument("-i", "--checkpoint-path", required=True)
+    p.add_argument("--prompt", default="a photo of an astronaut riding a horse on mars")
+    p.add_argument("--step-count", type=int, default=20)
+    p.add_argument("--size", default="512x512")
+    p.add_argument("--scheduler", default="DPMSolverMultistep")
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--seed", type=int, default=93)
+    p.add_argument("-o", "--output-json", default="benchmark.json")
+    return p
+
+
+def run(args) -> dict:
+    from ..convert.load import load_pipeline
+    from ..pipelines.config import PipelineConfiguration
+
+    h, w = (int(x) for x in args.size.split("x"))
+    pipe = load_pipeline(args.checkpoint_path)
+    cfg = PipelineConfiguration(prompt=args.prompt, step_count=args.step_count,
+                                seed=args.seed, scheduler=args.scheduler,
+                                disable_safety=True)
+
+    # warmup/compile
+    pipe.generate_images(cfg, image_hw=(h, w))
+
+    e2e, per_step = [], []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        res = pipe.generate_images(cfg, image_hw=(h, w))
+        e2e.append(time.perf_counter() - t0)
+        per_step.append(res.seconds_per_step)
+
+    report = {
+        "checkpoint": str(args.checkpoint_path),
+        "size": args.size,
+        "scheduler": args.scheduler,
+        "step_count": args.step_count,
+        "repeats": args.repeats,
+        "e2e_latency_median_s": round(statistics.median(e2e), 4),
+        "seconds_per_step_median": round(statistics.median(per_step), 5),
+        "diffusion_iters_per_s": round(1.0 / statistics.median(per_step), 3),
+    }
+    Path(args.output_json).write_text(json.dumps(report, indent=1))
+    logger.info("%s", json.dumps(report))
+    return report
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    run(parser_spec().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

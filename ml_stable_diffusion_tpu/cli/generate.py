@@ -1,0 +1,131 @@
+"""Image generation CLI.
+
+Flag parity with the reference's two generation CLIs: the Python pipeline
+(pipeline.py:785-857) and the Swift StableDiffusionSample (main.swift:22-105).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+
+def parser_spec() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "sdtpu-generate", description="TPU-native Stable Diffusion generation")
+    p.add_argument("prompt", nargs="?", default=None,
+                   help="positional prompt (Swift CLI style)")
+    p.add_argument("--prompt", dest="prompt_opt", default=None)
+    p.add_argument("--negative-prompt", default="")
+    p.add_argument("-i", "--checkpoint-path", required=True,
+                   help="diffusers-layout checkpoint directory")
+    p.add_argument("-o", "--output-path", default=".")
+    p.add_argument("--seed", type=int, default=93)
+    p.add_argument("--num-inference-steps", "--step-count", type=int,
+                   default=50, dest="step_count")
+    p.add_argument("--guidance-scale", type=float, default=7.5)
+    p.add_argument("--image-count", type=int, default=1)
+    p.add_argument("--scheduler", default="PNDM",
+                   help="PNDM|DPMSolverMultistep|DDIM|Euler|EulerAncestral|LMS|DiscreteFlow")
+    p.add_argument("--timestep-spacing", default=None,
+                   help="linspace|leading|trailing|karras")
+    p.add_argument("--timestep-shift", type=float, default=3.0)
+    p.add_argument("--rng", default="jax",
+                   choices=["jax", "numpy", "torch", "nvidia"])
+    p.add_argument("--image", default=None, help="img2img input image path")
+    p.add_argument("--strength", type=float, default=1.0)
+    p.add_argument("--size", default="512x512", help="HxW output size")
+    p.add_argument("--controlnet-inputs", nargs="*", default=[],
+                   help="conditioning image paths, one per loaded controlnet")
+    p.add_argument("--disable-safety", action="store_true")
+    p.add_argument("--unet-batch-one", action="store_true")
+    p.add_argument("--refiner-start", type=float, default=0.8)
+    p.add_argument("--custom-vae", default=None)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="save intermediate images every N steps (main.swift:57)")
+    return p
+
+
+def run(args) -> list:
+    import jax.numpy as jnp
+
+    from ..convert.load import load_pipeline
+    from ..pipelines.config import PipelineConfiguration
+    from ..utils.image import pil_to_tensor
+
+    prompt = args.prompt_opt or args.prompt or ""
+    h, w = (int(x) for x in args.size.split("x"))
+
+    pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae)
+
+    starting_image = None
+    if args.image:
+        from PIL import Image
+
+        starting_image = pil_to_tensor(Image.open(args.image), size=(h, w))
+
+    controlnet_inputs = []
+    for path in args.controlnet_inputs:
+        from PIL import Image
+
+        controlnet_inputs.append(
+            pil_to_tensor(Image.open(path), size=(h, w), value_range=(0, 1)))
+
+    cfg = PipelineConfiguration(
+        prompt=prompt, negative_prompt=args.negative_prompt,
+        starting_image=starting_image, strength=args.strength,
+        image_count=args.image_count, step_count=args.step_count,
+        seed=args.seed, guidance_scale=args.guidance_scale,
+        refiner_start=args.refiner_start,
+        controlnet_inputs=controlnet_inputs,
+        disable_safety=args.disable_safety,
+        scheduler=args.scheduler, timestep_spacing=args.timestep_spacing,
+        timestep_shift=args.timestep_shift, rng=args.rng,
+        unet_batch_one=args.unet_batch_one)
+
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    handler = None
+    if args.save_every > 0:
+        def handler(progress):
+            if progress.step % args.save_every == 0:
+                for i, im in enumerate(progress.current_images):
+                    im.save(out_dir / _name(prompt, args.seed, i,
+                                            step=progress.step))
+            return True
+
+    result = pipe.generate_images(cfg, progress_handler=handler,
+                                  image_hw=(h, w))
+    paths = []
+    for i, im in enumerate(result.images):
+        path = out_dir / _name(prompt, args.seed, i)
+        im.save(path)
+        paths.append(path)
+        if result.nsfw_flags[i]:
+            logger.warning("image %d flagged by safety checker", i)
+    logger.info("%.3f s/step; saved %s", result.seconds_per_step,
+                [str(p) for p in paths])
+    return paths
+
+
+def _name(prompt: str, seed: int, idx: int, step: int | None = None) -> str:
+    """<prompt-slug>.<seed>.<idx>[.step].png (reference image naming,
+    main.swift:301-321 / pipeline.py get_image_path :700)."""
+    slug = "_".join(prompt.split())[:50] or "image"
+    parts = [slug, str(seed), str(idx)]
+    if step is not None:
+        parts.append(f"step{step}")
+    return ".".join(parts) + ".png"
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    run(parser_spec().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,7 @@ def benchmark_signal_integrity(run_fn: Callable, params,
                 results["cumulative"][str(nbits)][key] = round(psnr, 2)
                 logger.info("cumulative %s @%db: %.1f dB", key, nbits, psnr)
             flush()
+    flush()  # always leave a (possibly empty) checkpoint on disk
     return results
 
 
