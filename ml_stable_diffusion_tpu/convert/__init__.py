@@ -8,6 +8,7 @@ from .mmdit import port_mmdit
 from .artifacts import save_module, load_module
 from .load import (
     load_pipeline,
+    load_pipeline_from_artifacts,
     load_safetensors_state_dict,
     load_text_encoder,
     load_unet,
@@ -29,6 +30,7 @@ __all__ = [
     "save_module",
     "load_module",
     "load_pipeline",
+    "load_pipeline_from_artifacts",
     "load_safetensors_state_dict",
     "load_text_encoder",
     "load_unet",

@@ -172,7 +172,7 @@ def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
 
 
 def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
-                  compute_dtype=jnp.bfloat16):
+                  refiner_dir=None, compute_dtype=jnp.bfloat16):
     """Assemble a pipeline from a diffusers-layout checkpoint directory.
 
     Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
@@ -197,7 +197,8 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
               if (root / "text_encoder").exists() else None)
         te2 = load_text_encoder(root / "text_encoder_2", with_projection=True)
         unet = load_unet(root / "unet", dtype=compute_dtype)
-        refiner = None
+        refiner = (load_unet(Path(refiner_dir) / "unet", dtype=compute_dtype)
+                   if refiner_dir else None)
         return StableDiffusionXLPipeline(
             tokenizer=tok, tokenizer2=tok2, text_encoder=te,
             text_encoder2=te2, unet=unet, refiner_unet=refiner,
@@ -240,5 +241,33 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
 
     te = load_text_encoder(root / "text_encoder")
     unet = load_unet(root / "unet", dtype=compute_dtype)
+    return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
+                                   vae_decoder=dec, vae_encoder=enc)
+
+
+def load_pipeline_from_artifacts(artifact_dir: str | Path,
+                                 compute_dtype=jnp.bfloat16):
+    """Assemble an SD pipeline from a converted artifact bundle
+    (cli/convert.py output) — the analog of the reference loading compiled
+    .mlmodelc Resources/ (coreml_model.py get_resource_type/_load_mlpackage).
+    """
+    from .artifacts import load_module
+    from ..pipelines.sd import StableDiffusionPipeline
+
+    root = Path(artifact_dir)
+    tok = CLIPTokenizer.from_pretrained_dir(root)
+
+    def module(name, model_cls, cfg_cls, dtype):
+        params, manifest = load_module(root, name=name)
+        cfg = cfg_cls(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in manifest["config"].items()})
+        return model_cls(cfg, dtype=dtype), params
+
+    te = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig, jnp.float32)
+    unet = module("Unet", UNet2DConditionModel, UNetConfig, compute_dtype)
+    dec = module("VAEDecoder", VAEDecoder, VAEConfig, jnp.float32)
+    enc = None
+    if (root / "VAEEncoder.safetensors").exists():
+        enc = module("VAEEncoder", VAEEncoder, VAEConfig, jnp.float32)
     return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
                                    vae_decoder=dec, vae_encoder=enc)
