@@ -1,0 +1,88 @@
+"""Native C++ tokenizer parity vs the pure-Python implementation."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ml_stable_diffusion_tpu.tokenizer import CLIPTokenizer
+from ml_stable_diffusion_tpu.tokenizer.native import (
+    NativeCLIPTokenizer,
+    build_native,
+    load_tokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vocab")
+    chars = list("abcdefghijklmnopqrstuvwxyz0123456789!?.,'-")
+    tokens = []
+    for c in chars:
+        tokens.append(c)
+        tokens.append(c + "</w>")
+    merges = [
+        ("h", "e"), ("l", "l"), ("o", "</w>"), ("he", "ll"), ("hell", "o</w>"),
+        ("w", "o"), ("r", "l"), ("d", "</w>"), ("rl", "d</w>"), ("wo", "rld</w>"),
+        ("c", "a"), ("t", "</w>"), ("ca", "t</w>"),
+        ("'", "s"),
+    ]
+    for a, b in merges:
+        tokens.append(a + b)
+    tokens += ["<|startoftext|>", "<|endoftext|>"]
+    vocab = {t: i for i, t in enumerate(dict.fromkeys(tokens))}
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    return d
+
+
+@pytest.fixture(scope="module")
+def native(vocab_dir):
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    return NativeCLIPTokenizer(vocab_dir / "vocab.json",
+                               vocab_dir / "merges.txt")
+
+
+PROMPTS = [
+    "hello world",
+    "a cat's hello",
+    "HELLO,   World!!",
+    "cat cat cat 123",
+    "it's a cat? no - it isn't.",
+    "",
+    "x" * 200,
+]
+
+
+def test_native_matches_python(vocab_dir, native):
+    py = CLIPTokenizer.from_pretrained_dir(vocab_dir)
+    for prompt in PROMPTS:
+        a, na = py.tokenize(prompt, max_length=77)
+        b, nb = native.tokenize(prompt, max_length=77)
+        np.testing.assert_array_equal(a, b, err_msg=repr(prompt))
+        assert na == nb, prompt
+
+
+def test_native_truncation(native):
+    ids, n = native.tokenize("hello " * 100, max_length=10)
+    assert ids.shape == (10,)
+    assert n == 10
+    assert ids[0] == native.bos_id and ids[-1] == native.eos_id
+
+
+def test_native_error_on_missing_files(tmp_path):
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    with pytest.raises(RuntimeError):
+        NativeCLIPTokenizer(tmp_path / "nope.json", tmp_path / "nope.txt")
+
+
+def test_load_tokenizer_factory(vocab_dir):
+    tok = load_tokenizer(vocab_dir)
+    ids, _ = tok.tokenize("hello world")
+    py = CLIPTokenizer.from_pretrained_dir(vocab_dir)
+    np.testing.assert_array_equal(ids, py.tokenize("hello world")[0])
+    tok_py = load_tokenizer(vocab_dir, prefer_native=False)
+    assert isinstance(tok_py, CLIPTokenizer)
