@@ -5,12 +5,19 @@ This one kernel subsumes the reference's three ANE attention variants
 chunking (attention.py:75-144) becomes blockwise online-softmax iteration
 over KV tiles, which bounds intermediates to VMEM instead of ANE SRAM.
 
+Two shapes matter in diffusion:
+- self-attention: Sq == Sk in {256..4096}, iterated KV tiles;
+- cross-attention: Sk == 77 text tokens — KV pads to one 128-wide tile with
+  in-kernel masking, so the softmax never touches HBM (the XLA path
+  materializes (B, H, Sq, Sk) fp32 logits, which at 4096x77x20 heads is the
+  single largest HBM-traffic term in the SD UNet step).
+
 Standard flash algorithm: for each query tile, iterate over KV tiles
 accumulating (m, l, acc) running max / normalizer / weighted values; logits
 and accumulation in fp32 (MXU `preferred_element_type`), the p@v matmul in
-the input dtype.  Diffusion self/cross attention is unmasked, so no causal
-path is needed here (causal text encoding uses the XLA path — 77 tokens is
-far below the flash break-even anyway).
+the input dtype.  Diffusion self/cross attention is unmasked (beyond KV
+padding), so no causal path is needed here — causal text encoding (77
+tokens) stays on the XLA path, far below flash break-even.
 """
 
 from __future__ import annotations
@@ -25,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale, kv_len, block_k):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -42,6 +50,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
+
+    if kv_len % block_k != 0:
+        # mask the padded KV tail (cross-attention 77 -> 128)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col + j * block_k < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -70,16 +83,17 @@ def _pick_block(s: int, preferred: int) -> int:
     return max(b, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bhsd(q, k, v, block_q: int, block_k: int):
-    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D)."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_len"))
+def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
+    """q (BH, Sq, D), k/v (BH, Sk_padded, D) -> (BH, Sq, D)."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     scale = D ** -0.5
     grid = (BH, Sq // block_q, Sk // block_k)
 
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale),
+        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
@@ -108,19 +122,32 @@ def flash_attention(q, k, v, bias=None, causal=False,
     """Multi-head flash attention over (B, S, H, D) tensors.
 
     Falls back to the XLA path for shapes/features the kernel does not
-    handle (bias, causal, tiny or non-divisible sequences).
+    handle (bias, causal, tiny query sequences).
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     bq = _pick_block(Sq, block_q)
-    bk = _pick_block(Sk, block_k)
-    if bias is not None or causal or bq < 128 or bk < 128:
+    if bias is not None or causal or bq < 128:
         from .attention import _xla_attention
 
         return _xla_attention(q, k, v, bias=bias, causal=causal)
 
+    # pad KV up to a 128 multiple (cross-attention: 77 text tokens -> 128)
+    kv_len = Sk
+    pad = (-Sk) % 128
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        Sk = Sk + pad
+    bk = _pick_block(Sk, block_k)
+    if bk < 128:
+        from .attention import _xla_attention
+
+        return _xla_attention(q, k, v[:, :kv_len] if pad else v, bias=bias,
+                              causal=causal)
+
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    out = _flash_bhsd(qf, kf, vf, bq, bk)
+    out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len)
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
