@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Secondary benchmark: SDXL-base 1024x1024 end-to-end latency on one chip.
+
+Reference best: 20 s on a Mac Studio M2 Ultra (BASELINE.md); target < 4 s.
+E2E = text encode (dual CLIP) + 20-step CFG denoise + VAE decode, all real
+SDXL dimensions with random bf16 weights (speed is weight-value independent).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
+from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
+from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
+
+STEPS = 20
+GUIDANCE = 5.0
+BASELINE_E2E_S = 20.0  # M2 Ultra, README.md:137
+
+
+def _random_params(model, *args, dtype=jnp.bfloat16):
+    shapes = jax.eval_shape(lambda k: model.init(k, *args), jax.random.key(0))["params"]
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
+
+
+def main():
+    h = w = 128  # 1024 / 8
+
+    ucfg = UNetConfig.sdxl()
+    unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
+    added = {"text_embeds": jnp.zeros((2, 1280), jnp.float32),
+             "time_ids": jnp.zeros((2, 6), jnp.float32)}
+    shapes = jax.eval_shape(
+        lambda k: unet.init(k, jnp.zeros((2, h, w, 4)), jnp.zeros((2,)),
+                            jnp.zeros((2, 77, 2048)), added_cond=added),
+        jax.random.key(0))["params"]
+    uparams = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes)
+
+    te1 = CLIPTextEncoder(CLIPTextConfig.sd1(), dtype=jnp.bfloat16)
+    te1_params = _random_params(te1, jnp.zeros((2, 77), jnp.int32))
+    te2 = CLIPTextEncoder(CLIPTextConfig.sdxl_g(), dtype=jnp.bfloat16)
+    te2_params = _random_params(te2, jnp.zeros((2, 77), jnp.int32))
+
+    vcfg = VAEConfig.sd()
+    vae = VAEDecoder(vcfg, dtype=jnp.bfloat16)
+    vparams = _random_params(vae, jnp.zeros((1, h, w, 4)))
+
+    sched = DPMSolverMultistepScheduler()
+    plan = sched.set_timesteps(STEPS)
+
+    @jax.jit
+    def e2e(uparams, te1_params, te2_params, vparams, ids, latents):
+        o1 = te1.apply({"params": te1_params}, ids)
+        o2 = te2.apply({"params": te2_params}, ids)
+        ctx = jnp.concatenate([o1["penultimate_hidden_state"],
+                               o2["penultimate_hidden_state"]], axis=-1)
+        pooled = o2["pooled_output"]
+        added = {"text_embeds": pooled,
+                 "time_ids": jnp.broadcast_to(
+                     jnp.asarray([1024, 1024, 0, 0, 1024, 1024], jnp.float32),
+                     (2, 6))}
+        state = sched.initial_state(plan, latents.shape)
+
+        def step(carry, i):
+            lat, st = carry
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            eps = unet.apply({"params": uparams}, lat2, plan.timesteps[i],
+                             ctx, added_cond=added)
+            neg, pos = jnp.split(eps, 2, axis=0)
+            guided = neg + GUIDANCE * (pos - neg)
+            st, lat = sched.step(plan, st, guided, i, lat)
+            return (lat, st), None
+
+        (lat, _), _ = jax.lax.scan(step, (latents, state),
+                                   jnp.arange(plan.num_steps))
+        return vae.apply({"params": vparams}, lat / 0.13025)
+
+    ids = jnp.zeros((2, 77), jnp.int32)
+
+    def fresh(i):
+        return jax.random.normal(jax.random.key(i), (1, h, w, 4), jnp.float32)
+
+    e2e(uparams, te1_params, te2_params, vparams, ids, fresh(0)).block_until_ready()
+
+    times = []
+    for i in range(3):
+        lat = fresh(i + 1)
+        lat.block_until_ready()
+        t0 = time.perf_counter()
+        e2e(uparams, te1_params, te2_params, vparams, ids, lat).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(json.dumps({
+        "metric": "SDXL-base 1024x1024 end-to-end latency (text encode + 20 steps CFG + VAE decode)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_E2E_S / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,10 @@ def parser_spec():
     p.add_argument("--bundle-resources-for-generation", action="store_true",
                    help="copy tokenizer files next to the artifacts "
                         "(reference bundle_resources_for_swift_cli)")
+    p.add_argument("--check-output-correctness", action="store_true",
+                   help="reload each saved artifact and verify bit-equality "
+                        "(the reference's conversion-time correctness gate, "
+                        "torch2coreml.py:91-92)")
     return p
 
 
@@ -48,12 +52,36 @@ def run(args):
     out.mkdir(parents=True, exist_ok=True)
     all_ = args.convert_all
 
-    if all_ or args.convert_text_encoder:
+    def exists(name):
+        # idempotent conversion: skip-if-exists (torch2coreml.py:113-126)
+        if (out / f"{name}.safetensors").exists():
+            logger.info("%s exists, skipping", name)
+            return True
+        return False
+
+    def check(name, params):
+        if not args.check_output_correctness:
+            return
+        import jax
+        import numpy as np
+
+        from ..convert.artifacts import load_module
+
+        loaded, _ = load_module(out, name=name)
+        for (pa, va), (_, vb) in zip(
+                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(loaded)):
+            np.testing.assert_array_equal(
+                np.asarray(va), vb, err_msg=jax.tree_util.keystr(pa))
+        logger.info("%s artifact verified bit-exact", name)
+
+    if (all_ or args.convert_text_encoder) and not exists("TextEncoder"):
         model, params = load.load_text_encoder(src / "text_encoder")
         artifacts.save_module(out, params, config=model.config,
                               name="TextEncoder")
+        check("TextEncoder", params)
         logger.info("TextEncoder converted")
-    if all_ or args.convert_unet:
+    if (all_ or args.convert_unet) and not exists("Unet"):
         model, params = load.load_unet(src / "unet", dtype=jnp.bfloat16)
         if args.quantize_nbits:
             params, stats = palettize_weights(params, args.quantize_nbits)
@@ -61,14 +89,15 @@ def run(args):
                         args.quantize_nbits,
                         stats["orig_bytes"] / max(stats["new_bytes"], 1))
         artifacts.save_module(out, params, config=model.config, name="Unet")
+        check("Unet", params)
         logger.info("Unet converted")
     vae_dir = Path(args.custom_vae) if args.custom_vae else src / "vae"
-    if all_ or args.convert_vae_decoder:
+    if (all_ or args.convert_vae_decoder) and not exists("VAEDecoder"):
         (dec, dec_params), _ = load.load_vae(vae_dir)
         artifacts.save_module(out, dec_params, config=dec.config,
                               name="VAEDecoder")
         logger.info("VAEDecoder converted")
-    if all_ or args.convert_vae_encoder:
+    if (all_ or args.convert_vae_encoder) and not exists("VAEEncoder"):
         _, (enc, enc_params) = load.load_vae(vae_dir)
         artifacts.save_module(out, enc_params, config=enc.config,
                               name="VAEEncoder")
