@@ -42,6 +42,8 @@ def parser_spec() -> argparse.ArgumentParser:
                    help="conditioning image paths, one per loaded controlnet")
     p.add_argument("--disable-safety", action="store_true")
     p.add_argument("--unet-batch-one", action="store_true")
+    p.add_argument("--attention-implementation", default="auto",
+                   choices=["auto", "xla", "flash"])
     p.add_argument("--refiner-start", type=float, default=0.8)
     p.add_argument("--custom-vae", default=None)
     p.add_argument("--save-every", type=int, default=0,
@@ -84,7 +86,8 @@ def run(args) -> list:
         disable_safety=args.disable_safety,
         scheduler=args.scheduler, timestep_spacing=args.timestep_spacing,
         timestep_shift=args.timestep_shift, rng=args.rng,
-        unet_batch_one=args.unet_batch_one)
+        unet_batch_one=args.unet_batch_one,
+        attention_implementation=args.attention_implementation)
 
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)

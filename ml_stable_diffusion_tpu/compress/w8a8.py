@@ -128,3 +128,42 @@ def benchmark_w8a8(run_fn: Callable, act_scales: dict[str, float],
             active.add(key)
         logger.info("w8a8 %s: %.1f dB", key, psnr)
     return results
+
+
+def quantize_dense_weights_int8(variables_fn: Callable, paths: list[str]):
+    """Pre-quantize selected Dense kernels to int8 for serving.
+
+    ``variables_fn(path) -> {"kernel": ..., "bias": ...}``; returns
+    {path: (w_q int8, w_scale)} consumed by ``w8a8_serving_interceptor``.
+    """
+    from ..ops.int8 import quantize_weight_int8
+
+    out = {}
+    for path in paths:
+        v = variables_fn(path)
+        out[path] = quantize_weight_int8(jnp.asarray(v["kernel"]))
+    return out
+
+
+def w8a8_serving_interceptor(act_scales: dict[str, float],
+                             int8_weights: dict,
+                             skip_patterns: Sequence[str] = DEFAULT_SKIP_PATTERNS):
+    """Serving-path interceptor: selected Dense layers execute as real int8
+    MXU matmuls (ops/int8.int8_dense) — the deployment counterpart of the
+    fake-quant simulation used for sensitivity analysis."""
+    from ..ops.int8 import int8_dense
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (isinstance(context.module, nn.Dense)
+                and context.method_name == "__call__" and args):
+            key = _path_str(context.module)
+            if (key in int8_weights and key in act_scales
+                    and not any(p in key for p in skip_patterns)):
+                wq, wscale = int8_weights[key]
+                bias = (context.module.variables["params"].get("bias")
+                        if context.module.use_bias else None)
+                return int8_dense(args[0], wq, wscale, act_scales[key],
+                                  bias=bias)
+        return next_fun(*args, **kwargs)
+
+    return interceptor

@@ -132,6 +132,8 @@ class SafetyChecker(nn.Module):
             "has_nsfw": has_nsfw,
             "concept_scores": concept_scores,
             "special_scores": special_scores,
+            # normalized CLIP image embedding — reused by utils/clip_score.py
+            "image_embeds": embeds,
         }
 
 

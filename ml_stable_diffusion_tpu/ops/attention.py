@@ -30,6 +30,17 @@ class AttentionImpl(str, enum.Enum):
     FLASH = "flash"
 
 
+#: process-wide default used by AUTO callers — the TPU analog of the
+#: reference's module-level ATTENTION_IMPLEMENTATION_IN_EFFECT switch
+#: (unet.py:42, set by torch2coreml.py:1527 / --attention-implementation).
+ATTENTION_IMPLEMENTATION_IN_EFFECT = AttentionImpl.AUTO
+
+
+def set_attention_implementation(impl: AttentionImpl | str):
+    global ATTENTION_IMPLEMENTATION_IN_EFFECT
+    ATTENTION_IMPLEMENTATION_IN_EFFECT = AttentionImpl(impl)
+
+
 def _xla_attention(q, k, v, bias=None, causal=False):
     B, Sq, H, D = q.shape
     scale = D ** -0.5
@@ -69,6 +80,8 @@ def dot_product_attention(q, k, v, bias=None, causal=False,
     ``bias`` is an additive (B or 1, H or 1, Sq, Sk) mask/bias.
     """
     impl = AttentionImpl(impl)
+    if impl == AttentionImpl.AUTO:
+        impl = ATTENTION_IMPLEMENTATION_IN_EFFECT
     if impl == AttentionImpl.AUTO:
         impl = AttentionImpl.FLASH if _flash_qualifies(q, k) else AttentionImpl.XLA
     if impl == AttentionImpl.FLASH:

@@ -51,6 +51,10 @@ class PipelineConfiguration:
     #: torch2coreml.py:825-826, pipeline.py:540-557)
     unet_batch_one: bool = False
 
+    #: "auto" | "xla" | "flash" — TPU analog of the reference's
+    #: --attention-implementation {ORIGINAL, SPLIT_EINSUM[_V2]} switch
+    attention_implementation: str = "auto"
+
     #: latent scale/shift; None -> per-family defaults (main.swift:119-139)
     encoder_scale_factor: float | None = None
     decoder_scale_factor: float | None = None

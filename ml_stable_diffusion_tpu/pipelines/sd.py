@@ -341,10 +341,14 @@ class StableDiffusionPipeline:
         if n_ctrl and n_ctrl != len(self.controlnets):
             raise ValueError("controlnet_inputs count must match loaded controlnets")
 
+        from ..ops.attention import set_attention_implementation
+
+        set_attention_implementation(cfg.attention_implementation)
         key = (cfg.scheduler, cfg.step_count, N, h, w, guidance_on, n_ctrl,
                img2img, cfg.unet_batch_one, cfg.rng == "jax",
                cfg.timestep_spacing, round(strength, 4),
                cfg.guidance_scale, cfg.timestep_shift,
+               cfg.attention_implementation,
                self._conditioning_cache_key(cfg))
         if key not in self._programs:
             self._programs[key] = self._build_program(

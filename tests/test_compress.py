@@ -192,3 +192,30 @@ def test_palettized_dense_op():
     np.testing.assert_array_equal(
         np.asarray(unpack_4bit(jnp.asarray(packed), pt.indices.size)),
         pt.indices)
+
+
+def test_w8a8_serving_interceptor_matches_simulation(toy):
+    from ml_stable_diffusion_tpu.compress.w8a8 import (
+        quantizable_dense_paths,
+        quantize_dense_weights_int8,
+        w8a8_serving_interceptor,
+    )
+
+    model, params, x = toy
+
+    def apply_fn(inputs):
+        return model.apply({"params": params}, inputs)
+
+    scales = capture_activation_scales(apply_fn, [x])
+    paths = quantizable_dense_paths(scales)
+    int8_w = quantize_dense_weights_int8(lambda p: params[p], paths)
+
+    with nn.intercept_methods(w8a8_interceptor(scales, set(paths))):
+        sim = model.apply({"params": params}, x)
+    with nn.intercept_methods(w8a8_serving_interceptor(scales, int8_w)):
+        served = model.apply({"params": params}, x)
+    # real int8 path must match the fake-quant simulation closely
+    np.testing.assert_allclose(np.asarray(served), np.asarray(sim),
+                               rtol=1e-2, atol=1e-2)
+    ref = model.apply({"params": params}, x)
+    assert compute_psnr(np.asarray(served), np.asarray(ref)) > 25

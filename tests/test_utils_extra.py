@@ -1,0 +1,54 @@
+"""Tests: attention-implementation switch, clip score, device discovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ml_stable_diffusion_tpu.models.safety import SafetyChecker, SafetyCheckerConfig
+from ml_stable_diffusion_tpu.ops import attention as attn
+from ml_stable_diffusion_tpu.utils.clip_score import clip_score
+from ml_stable_diffusion_tpu.utils.devices import (
+    describe_devices,
+    get_available_compute_units,
+)
+
+from helpers import tiny_text_encoder, tiny_tokenizer
+
+
+def test_attention_implementation_switch():
+    q = jnp.asarray(np.random.RandomState(0).randn(1, 8, 2, 4), jnp.float32)
+    ref = attn.dot_product_attention(q, q, q, impl="xla")
+    try:
+        attn.set_attention_implementation("xla")
+        out = attn.dot_product_attention(q, q, q)  # AUTO -> forced xla
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        with pytest.raises(ValueError):
+            attn.set_attention_implementation("bogus")
+    finally:
+        attn.set_attention_implementation("auto")
+
+
+def test_devices():
+    units = get_available_compute_units()
+    assert "cpu" in units
+    desc = describe_devices()
+    assert len(desc) >= 1 and "platform" in desc[0]
+
+
+def test_clip_score_shape_and_range(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    tok = tiny_tokenizer(tmp_path)
+    te, te_params = tiny_text_encoder(use_projection=True)
+    vcfg = SafetyCheckerConfig(image_size=32, patch_size=8, hidden_size=32,
+                               intermediate_size=64, num_hidden_layers=2,
+                               num_attention_heads=2, projection_dim=32,
+                               num_concepts=2, num_special_care=2)
+    vm = SafetyChecker(vcfg)
+    vp = jax.jit(vm.init)(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    img = Image.new("RGB", (64, 64), (120, 30, 200))
+    s = clip_score(te, te_params, vm, vp, tok, "a purple square", img)
+    assert -1.0 <= s <= 1.0
