@@ -66,9 +66,26 @@ def make_train_step(model, optimizer: optax.GradientTransformation,
         return TrainState(params, opt_state, state.step + 1), loss
 
     def init_fn(params):
+        from jax.sharding import NamedSharding, PartitionSpec
+
         shardings = param_sharding_rules(params, mesh)
+        # copy before placing: device_put may zero-copy-alias host buffers,
+        # and step_fn's donation would then delete the caller's arrays
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         params = jax.tree.map(jax.device_put, params, shardings)
         opt_state = optimizer.init(params)
-        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        # pin optimizer scalars (adam counts etc.) to the mesh so every
+        # TrainState leaf has a fully-specified mesh sharding (required for
+        # checkpoint restore round trips)
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def place(x):
+            if hasattr(x, "sharding") and getattr(x.sharding, "mesh", None) is mesh:
+                return x
+            return jax.device_put(x, replicated)
+
+        opt_state = jax.tree.map(place, opt_state)
+        step = jax.device_put(jnp.zeros((), jnp.int32), replicated)
+        return TrainState(params, opt_state, step)
 
     return init_fn, jax.jit(step_fn, donate_argnums=0)

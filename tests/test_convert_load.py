@@ -43,20 +43,23 @@ def _write_tokenizer(d):
     (d / "merges.txt").write_text("#version: 0.2\n")
 
 
-def _write_text_encoder(d):
+def _write_text_encoder(d, with_projection=False, projection_dim=16):
     cfg = transformers.CLIPTextConfig(
         vocab_size=100, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=2,
         max_position_embeddings=77, hidden_act="gelu",
-        eos_token_id=99, bos_token_id=98)
+        eos_token_id=99, bos_token_id=98, projection_dim=projection_dim)
     torch.manual_seed(0)
-    tm = transformers.CLIPTextModel(cfg).eval()
+    cls = (transformers.CLIPTextModelWithProjection if with_projection
+           else transformers.CLIPTextModel)
+    tm = cls(cfg).eval()
     d.mkdir(parents=True)
     (d / "config.json").write_text(json.dumps({
-        "architectures": ["CLIPTextModel"], "vocab_size": 100,
+        "architectures": [cls.__name__], "vocab_size": 100,
         "hidden_size": 32, "intermediate_size": 64, "num_hidden_layers": 2,
         "num_attention_heads": 2, "max_position_embeddings": 77,
-        "hidden_act": "gelu", "eos_token_id": 99}))
+        "hidden_act": "gelu", "eos_token_id": 99,
+        "projection_dim": projection_dim}))
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}
     save_file(sd, str(d / "model.safetensors"))
 
