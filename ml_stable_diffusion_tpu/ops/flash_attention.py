@@ -118,7 +118,7 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
 
 
 def flash_attention(q, k, v, bias=None, causal=False,
-                    block_q: int = 512, block_k: int = 512):
+                    block_q: int = 1024, block_k: int = 1024):
     """Multi-head flash attention over (B, S, H, D) tensors.
 
     Falls back to the XLA path for shapes/features the kernel does not

@@ -1,0 +1,57 @@
+"""Fixed-seed numerical regression goldens.
+
+The reference pins golden values for cheap deterministic components
+(StableDiffusionTests.swift); here we additionally pin end-to-end latent
+statistics of the tiny fixed-init pipeline so any unintended numerical
+change in the UNet/scheduler/pipeline stack trips a test.  Values were
+generated on the CPU backend at commit time; tolerances absorb platform
+fusion differences.
+"""
+
+import numpy as np
+import pytest
+
+from ml_stable_diffusion_tpu.pipelines import (
+    PipelineConfiguration,
+    StableDiffusionPipeline,
+)
+from ml_stable_diffusion_tpu.schedulers import (
+    DPMSolverMultistepScheduler,
+    PNDMScheduler,
+)
+
+from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+
+def test_scheduler_table_goldens():
+    """Plan tables are pure host math — bit-stable across platforms."""
+    plan = DPMSolverMultistepScheduler().set_timesteps(10)
+    np.testing.assert_allclose(
+        np.asarray(plan.timesteps),
+        [901., 801., 701., 601., 501., 401., 301., 201., 101., 1.])
+    lam = np.asarray(plan.table("lambda"))
+    np.testing.assert_allclose(lam[0], -2.1271222, rtol=1e-5)
+    np.testing.assert_allclose(lam[-1], 3.5347118, rtol=1e-5)
+
+    plan = PNDMScheduler().set_timesteps(10)
+    np.testing.assert_allclose(np.asarray(plan.table("sample_coeff"))[:3],
+                               [1.6154112, 1.6154112, 1.4971428], rtol=1e-5)
+
+
+def test_e2e_latent_regression(tmp_path):
+    """Tiny fixed-init pipeline, DDIM-4, seed 93: latent statistics must stay
+    put (loose tolerances for cross-platform fusion differences)."""
+    tok = tiny_tokenizer(tmp_path)
+    dec, enc = tiny_vae()
+    pipe = StableDiffusionPipeline(tokenizer=tok,
+                                   text_encoder=tiny_text_encoder(),
+                                   unet=tiny_unet(), vae_decoder=dec)
+    cfg = PipelineConfiguration(prompt="golden cat", step_count=4, seed=93,
+                                scheduler="DDIM", disable_safety=True)
+    res = pipe.generate_images(cfg, image_hw=(64, 64))
+    lat = res.latents
+    # golden statistics generated on CPU backend (jax 0.9.0)
+    assert lat.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(float(lat.mean()), 0.76340, atol=5e-3)
+    np.testing.assert_allclose(float(lat.std()), 6.46151, atol=5e-2)
+    np.testing.assert_allclose(lat[0, 0, 0, :2], [5.87022, 6.75750], atol=5e-2)
