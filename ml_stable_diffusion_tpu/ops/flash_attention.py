@@ -117,8 +117,14 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
     )(q, k, v)
 
 
+import os as _os
+
+_DEFAULT_BQ = int(_os.environ.get("SDTPU_FLASH_BQ", 1024))
+_DEFAULT_BK = int(_os.environ.get("SDTPU_FLASH_BK", 1024))
+
+
 def flash_attention(q, k, v, bias=None, causal=False,
-                    block_q: int = 1024, block_k: int = 1024):
+                    block_q: int | None = None, block_k: int | None = None):
     """Multi-head flash attention over (B, S, H, D) tensors.
 
     Falls back to the XLA path for shapes/features the kernel does not
@@ -126,6 +132,8 @@ def flash_attention(q, k, v, bias=None, causal=False,
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
+    block_q = _DEFAULT_BQ if block_q is None else block_q
+    block_k = _DEFAULT_BK if block_k is None else block_k
     bq = _pick_block(Sq, block_q)
     if bias is not None or causal or bq < 128:
         from .attention import _xla_attention

@@ -23,9 +23,17 @@ def _require_pil():
 
 
 def denormalize_to_uint8(x: np.ndarray) -> np.ndarray:
-    """[-1,1] float NHWC -> uint8 NHWC (clamped)."""
+    """[-1,1] float NHWC -> uint8 NHWC (clamped).
+
+    Uses the native C++ converter (native/image) when built — the serving
+    analog of the reference's vImage conversion path."""
     x = np.asarray(x, dtype=np.float32)
-    return (np.clip(x / 2.0 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    try:
+        from .native_image import denormalize_to_uint8_native
+
+        return denormalize_to_uint8_native(x)
+    except OSError:
+        return (np.clip(x / 2.0 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
 
 def tensor_to_pil(x: np.ndarray) -> list:

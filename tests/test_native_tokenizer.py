@@ -86,3 +86,23 @@ def test_load_tokenizer_factory(vocab_dir):
     np.testing.assert_array_equal(ids, py.tokenize("hello world")[0])
     tok_py = load_tokenizer(vocab_dir, prefer_native=False)
     assert isinstance(tok_py, CLIPTokenizer)
+
+
+def test_native_image_conversion_matches_numpy():
+    from ml_stable_diffusion_tpu.tokenizer.native import build_native
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    from ml_stable_diffusion_tpu.utils.native_image import (
+        denormalize_to_uint8_native,
+        uint8_to_float_native,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1.5, 1.5, size=(2, 33, 17, 3)).astype(np.float32)
+    ref = (np.clip(x / 2.0 + 0.5, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    out = denormalize_to_uint8_native(x)
+    np.testing.assert_array_equal(out, ref)
+
+    u = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
+    f = uint8_to_float_native(u, -1.0, 1.0)
+    np.testing.assert_allclose(f, u / 255.0 * 2.0 - 1.0, atol=1e-6)
