@@ -46,6 +46,9 @@ def parser_spec() -> argparse.ArgumentParser:
                    choices=["auto", "xla", "flash"])
     p.add_argument("--refiner-start", type=float, default=0.8)
     p.add_argument("--custom-vae", default=None)
+    p.add_argument("--controlnet", nargs="*", default=[],
+                   help="ControlNet checkpoint directories (reference "
+                        "--controlnet, main.swift:69)")
     p.add_argument("--save-every", type=int, default=0,
                    help="save intermediate images every N steps (main.swift:57)")
     return p
@@ -61,7 +64,8 @@ def run(args) -> list:
     prompt = args.prompt_opt or args.prompt or ""
     h, w = (int(x) for x in args.size.split("x"))
 
-    pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae)
+    pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae,
+                         controlnet_dirs=args.controlnet)
 
     starting_image = None
     if args.image:

@@ -13,6 +13,7 @@ from .load import (
     load_text_encoder,
     load_unet,
     load_vae,
+    load_controlnet,
     load_t5,
 )
 
@@ -35,5 +36,6 @@ __all__ = [
     "load_text_encoder",
     "load_unet",
     "load_vae",
+    "load_controlnet",
     "load_t5",
 ]

@@ -70,10 +70,11 @@ def unet_config_from_diffusers(cfg: dict) -> UNetConfig:
     heads = tuple(heads) if isinstance(heads, (list, tuple)) else (heads,) * n
     return UNetConfig(
         in_channels=cfg["in_channels"],
-        out_channels=cfg["out_channels"],
+        out_channels=cfg.get("out_channels", cfg["in_channels"]),
         block_out_channels=tuple(cfg["block_out_channels"]),
         down_block_types=tuple(cfg["down_block_types"]),
-        up_block_types=tuple(cfg["up_block_types"]),
+        # ControlNet checkpoints have no up blocks
+        up_block_types=tuple(cfg.get("up_block_types", ())),
         layers_per_block=cfg.get("layers_per_block", 2),
         transformer_layers_per_block=per_block("transformer_layers_per_block", 1),
         num_attention_heads=heads,
@@ -164,6 +165,25 @@ def load_vae(module_dir: str | Path, dtype=jnp.float32):
     return dec, enc
 
 
+def load_controlnet(module_dir: str | Path, dtype=jnp.bfloat16):
+    """diffusers ControlNetModel directory -> (model, params)
+    (reference convert_controlnet torch2coreml.py:1317 + base-model
+    compatibility is the caller's concern :1330-1342)."""
+    from ..models.controlnet import ControlNetModel
+    from .controlnet import port_controlnet
+
+    module_dir = Path(module_dir)
+    cfg = unet_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    params = port_controlnet(sd, cfg)
+    if dtype == jnp.bfloat16:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if hasattr(x, "astype") else x, params)
+    return ControlNetModel(cfg, dtype=dtype), params
+
+
 def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
     module_dir = Path(module_dir)
     cfg = t5_config_from_diffusers(_config_json(module_dir))
@@ -172,7 +192,8 @@ def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
 
 
 def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
-                  refiner_dir=None, compute_dtype=jnp.bfloat16):
+                  refiner_dir=None, controlnet_dirs=(),
+                  compute_dtype=jnp.bfloat16):
     """Assemble a pipeline from a diffusers-layout checkpoint directory.
 
     Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
@@ -241,8 +262,11 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
 
     te = load_text_encoder(root / "text_encoder")
     unet = load_unet(root / "unet", dtype=compute_dtype)
+    controlnets = [load_controlnet(d, dtype=compute_dtype)
+                   for d in controlnet_dirs]
     return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
-                                   vae_decoder=dec, vae_encoder=enc)
+                                   vae_decoder=dec, vae_encoder=enc,
+                                   controlnets=controlnets)
 
 
 def load_pipeline_from_artifacts(artifact_dir: str | Path,

@@ -140,3 +140,82 @@ def test_train_checkpoint_roundtrip(tmp_path):
     # restored state must be usable for further steps
     restored2, loss = step_fn(restored, batch)
     assert np.isfinite(float(loss))
+
+
+def test_controlnet_checkpoint_loading(tmp_path):
+    """ControlNet dir -> pipeline wiring (reference --controlnet loading,
+    pipeline.py:663-675 control-unet swap)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from test_convert_load import (_write_tokenizer, _write_text_encoder,
+                                   _write_unet, _write_vae, UNET_CFG)
+    from safetensors.numpy import save_file
+
+    from ml_stable_diffusion_tpu.convert import load_pipeline
+    from ml_stable_diffusion_tpu.models.controlnet import ControlNetModel
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "model_index.json").write_text(json.dumps(
+        {"_class_name": "StableDiffusionPipeline"}))
+    _write_tokenizer(ckpt / "tokenizer")
+    _write_text_encoder(ckpt / "text_encoder")
+    _write_unet(ckpt / "unet")
+    _write_vae(ckpt / "vae")
+
+    # synthesize a controlnet checkpoint by inverse-mapping a flax init
+    cn_model = ControlNetModel(UNET_CFG)
+    cn_params = jax.jit(cn_model.init)(
+        jax.random.key(3), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 32)), jnp.zeros((1, 64, 64, 3)))["params"]
+    sd = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(cn_params):
+        keys = [p.key for p in path]
+        mod = "/".join(keys[:-1])
+        name = (mod
+                .replace("controlnet_cond_embedding/blocks_",
+                         "controlnet_cond_embedding/blocks.")
+                .replace("controlnet_down_blocks_", "controlnet_down_blocks.")
+                .replace("down_blocks_", "down_blocks.")
+                .replace("mid_block_resnets_", "mid_block.resnets.")
+                .replace("mid_block_attentions_", "mid_block.attentions.")
+                .replace("_resnets_", ".resnets.")
+                .replace("_attentions_", ".attentions.")
+                .replace("_downsamplers_0", ".downsamplers.0")
+                .replace("transformer_blocks_", "transformer_blocks.")
+                .replace("to_out_0", "to_out.0")
+                .replace("geglu_proj", "net.0.proj")
+                .replace("ff/proj_out", "ff/net.2")
+                .replace("/", "."))
+        leafname = keys[-1]
+        v = np.asarray(leaf)
+        if leafname == "kernel":
+            w = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+            sd[name + ".weight"] = np.ascontiguousarray(w)
+        elif leafname == "scale":
+            sd[name + ".weight"] = v
+        else:
+            sd[name + ".bias"] = v
+    cn_dir = tmp_path / "controlnet"
+    cn_dir.mkdir()
+    (cn_dir / "config.json").write_text(json.dumps({
+        "in_channels": 4, "block_out_channels": [16, 32],
+        "down_block_types": list(UNET_CFG.down_block_types),
+        "layers_per_block": 1, "transformer_layers_per_block": [1, 1],
+        "attention_head_dim": [2, 2], "cross_attention_dim": 32,
+        "norm_num_groups": 8}))
+    save_file(sd, str(cn_dir / "diffusion_pytorch_model.safetensors"))
+
+    pipe = load_pipeline(ckpt, controlnet_dirs=[cn_dir],
+                         compute_dtype=jnp.float32)
+    assert len(pipe.controlnets) == 1
+    cond = np.zeros((1, 64, 64, 3), np.float32)
+    res = pipe.generate_images(
+        PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                              scheduler="DDIM", disable_safety=True,
+                              controlnet_inputs=[cond]),
+        image_hw=(64, 64))
+    assert np.isfinite(res.latents).all()
