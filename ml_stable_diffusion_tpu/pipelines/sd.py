@@ -98,6 +98,9 @@ class StableDiffusionPipeline:
     # -- scheduler -------------------------------------------------------------
 
     def _make_scheduler(self, cfg: PipelineConfiguration) -> Scheduler:
+        if cfg.scheduler not in SCHEDULER_MAP:
+            raise ValueError(f"unknown scheduler {cfg.scheduler!r}; expected "
+                             f"one of {sorted(SCHEDULER_MAP)}")
         cls = SCHEDULER_MAP[cfg.scheduler]
         kwargs = {}
         if cfg.timestep_spacing is not None:
