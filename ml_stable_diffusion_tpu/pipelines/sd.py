@@ -134,8 +134,9 @@ class StableDiffusionPipeline:
         """-> list of (start, end, unet_caller).  One phase for plain SD."""
         return [(0, num_steps, self._call_unet)]
 
-    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
-        """-> (ctx_neg, ctx_pos, added_neg, added_pos) for a phase."""
+    def _phase_conditioning(self, cfg, text, N, call_unet):
+        """-> (ctx_neg, ctx_pos, added_neg, added_pos) for the phase whose
+        denoiser is ``call_unet``."""
         ctx = text["context"]
         return (jnp.repeat(ctx[0:1], N, axis=0),
                 jnp.repeat(ctx[1:2], N, axis=0), None, None)
@@ -263,7 +264,7 @@ class StableDiffusionPipeline:
             out = []
             for pi, (lo, hi, call_unet) in enumerate(phases):
                 ctx_neg, ctx_pos, added_neg, added_pos = \
-                    self._phase_conditioning(cfg, text, N, pi)
+                    self._phase_conditioning(cfg, text, N, call_unet)
                 out.append((lo, hi, make_denoiser(call_unet, ctx_neg, ctx_pos,
                                                   added_neg, added_pos,
                                                   ctrl_images)))

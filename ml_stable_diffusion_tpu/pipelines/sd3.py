@@ -102,7 +102,7 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
         return self.unet.apply({"params": self.unet_params}, latents, t,
                                context, added_cond["pooled"])
 
-    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
+    def _phase_conditioning(self, cfg, text, N, call_unet):
         ctx = text["context"]
         pooled = text["pooled"]
         return (jnp.repeat(ctx[0:1], N, axis=0),

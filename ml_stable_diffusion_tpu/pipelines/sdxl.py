@@ -99,10 +99,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             added_cond=added_cond, down_block_residuals=down_res,
             mid_block_residual=mid_res)
 
-    def _phase_conditioning(self, cfg, text, N, phase_idx: int):
-        # refiner phase iff this phase calls the refiner
-        phases = self._denoise_phases(cfg, 1 << 30)
-        is_refiner = phases[phase_idx][2] == self._call_refiner
+    def _phase_conditioning(self, cfg, text, N, call_unet):
+        is_refiner = call_unet == self._call_refiner
 
         ctx = text["context2"] if is_refiner else text["context"]
         ctx_neg = jnp.repeat(ctx[0:1], N, axis=0)

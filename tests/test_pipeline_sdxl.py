@@ -101,12 +101,14 @@ def test_time_ids_shapes(xl_pipe):
     tokens = xl_pipe._tokenize(cfg)
     text = xl_pipe._encode_text(cfg, {k: jnp.asarray(v) for k, v in tokens.items()})
     # base phase: 6 time ids (size+crop+target)
-    _, _, aneg, apos = xl_pipe._phase_conditioning(cfg, text, 1, 0)
+    _, _, aneg, apos = xl_pipe._phase_conditioning(cfg, text, 1,
+                                                   xl_pipe._call_unet)
     assert apos["time_ids"].shape == (1, 6)
     np.testing.assert_allclose(np.asarray(apos["time_ids"][0]),
                                [512, 512, 0, 0, 768, 768])
     # refiner phase: 5 ids ending in aesthetic score (XLPipeline:326-344)
-    _, _, aneg, apos = xl_pipe._phase_conditioning(cfg, text, 1, 1)
+    _, _, aneg, apos = xl_pipe._phase_conditioning(cfg, text, 1,
+                                                   xl_pipe._call_refiner)
     assert apos["time_ids"].shape == (1, 5)
     assert float(apos["time_ids"][0, -1]) == 6.5
     assert float(aneg["time_ids"][0, -1]) == 2.5
@@ -126,3 +128,15 @@ def test_xl_callback_spans_phases(xl_pipe):
                             progress_handler=lambda p: seen.append(p.step) or True,
                             image_hw=(64, 64))
     assert seen == [1, 2, 3, 4, 5]
+
+
+def test_small_refiner_start_rounds_to_refiner_only(xl_pipe):
+    """refiner_start small enough that int(rs*steps)==0 must produce a
+    refiner-only trajectory with refiner conditioning (regression: the phase
+    kind was previously inferred from a mismatched synthetic phase list)."""
+    res = xl_pipe.generate_images(_cfg(seed=9, refiner_start=0.1, step_count=4),
+                                  image_hw=(64, 64))
+    assert np.isfinite(res.latents).all()
+    phases = xl_pipe._denoise_phases(_cfg(refiner_start=0.1), 4)
+    assert len(phases) == 1
+    assert phases[0][2] == xl_pipe._call_refiner
