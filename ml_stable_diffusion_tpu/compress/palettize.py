@@ -86,11 +86,9 @@ def palettize_array(w: np.ndarray, nbits: int) -> PalettizedTensor:
 
 
 def _eligible(path_names: tuple[str, ...], leaf, min_size: int) -> bool:
-    # skip embeddings — the reference skips gather ops (torch2coreml.py:218-221)
-    if "embedding" in path_names[-1] or any("embed" in n and "embedding" == n
-                                            for n in path_names):
-        return False
-    if path_names[-1] not in ("kernel",):
+    # only matmul/conv kernels; embedding tables are gather operands and the
+    # reference skips those (torch2coreml.py:218-221)
+    if path_names[-1] != "kernel":
         return False
     return int(np.prod(leaf.shape)) >= min_size
 

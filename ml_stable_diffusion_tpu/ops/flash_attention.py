@@ -23,6 +23,7 @@ tokens) stays on the XLA path, far below flash break-even.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,10 +118,10 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
     )(q, k, v)
 
 
-import os as _os
-
-_DEFAULT_BQ = int(_os.environ.get("SDTPU_FLASH_BQ", 1024))
-_DEFAULT_BK = int(_os.environ.get("SDTPU_FLASH_BK", 1024))
+#: tile sizes, env-tunable for sweeps (bench ablations: 1024x1024 beats
+#: 512x512 by 12% on SD-2.1 512^2; 2048/4096 variants are within noise)
+_DEFAULT_BQ = int(os.environ.get("SDTPU_FLASH_BQ", 1024))
+_DEFAULT_BK = int(os.environ.get("SDTPU_FLASH_BK", 1024))
 
 
 def flash_attention(q, k, v, bias=None, causal=False,

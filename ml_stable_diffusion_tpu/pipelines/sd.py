@@ -82,7 +82,8 @@ class StableDiffusionPipeline:
     def __init__(self, *, tokenizer, text_encoder, unet, vae_decoder,
                  vae_encoder=None, safety_checker=None, controlnets=(),
                  scheduler_config: SchedulerConfig | None = None,
-                 text_embedding_key: str = "last_hidden_state"):
+                 text_embedding_key: str = "last_hidden_state",
+                 method_interceptor=None):
         self.tokenizer = tokenizer
         self.text_encoder, self.text_encoder_params = text_encoder
         self.unet, self.unet_params = unet
@@ -92,6 +93,10 @@ class StableDiffusionPipeline:
         self.controlnets = list(controlnets)
         self.scheduler_config = scheduler_config or SchedulerConfig()
         self.text_embedding_key = text_embedding_key
+        #: optional flax method interceptor traced into every compiled
+        #: program — the hook for W8A8 serving (compress/w8a8.py
+        #: w8a8_serving_interceptor) and similar module-level rewrites
+        self.method_interceptor = method_interceptor
         self._programs: dict = {}
         self._decode_fn = None
 
@@ -295,14 +300,25 @@ class StableDiffusionPipeline:
                 (latents, state), _ = step((latents, state), (i, step_noise))
                 return latents, state
 
-            return jax.jit(one_step)
+            return jax.jit(self._intercepted(one_step))
 
         return {
-            "full": jax.jit(full_run),
-            "init": jax.jit(init_run),
+            "full": jax.jit(self._intercepted(full_run)),
+            "init": jax.jit(self._intercepted(init_run)),
             "steps": [make_one_step(pi) for pi in range(len(phases))],
             "phases": [(lo, hi) for lo, hi, _ in phases],
         }
+
+    def _intercepted(self, fn):
+        if self.method_interceptor is None:
+            return fn
+        import flax.linen as nn
+
+        def wrapped(*args, **kwargs):
+            with nn.intercept_methods(self.method_interceptor):
+                return fn(*args, **kwargs)
+
+        return wrapped
 
     # -- decode / safety ---------------------------------------------------------
 

@@ -219,3 +219,45 @@ def test_w8a8_serving_interceptor_matches_simulation(toy):
                                rtol=1e-2, atol=1e-2)
     ref = model.apply({"params": params}, x)
     assert compute_psnr(np.asarray(served), np.asarray(ref)) > 25
+
+
+def test_pipeline_with_w8a8_interceptor(tmp_path):
+    """W8A8 serving interceptor traced into the compiled pipeline program."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+    from ml_stable_diffusion_tpu.compress.w8a8 import w8a8_interceptor
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+
+    tok = tiny_tokenizer(tmp_path)
+    dec, _ = tiny_vae()
+    unet = tiny_unet()
+    te = tiny_text_encoder()
+    cfg = PipelineConfiguration(prompt="a cat", step_count=2, seed=5,
+                                scheduler="DDIM", disable_safety=True)
+    ref_pipe = StableDiffusionPipeline(tokenizer=tok, text_encoder=te,
+                                       unet=unet, vae_decoder=dec)
+    ref = ref_pipe.generate_images(cfg, image_hw=(64, 64))
+
+    scales = {"": 10.0}  # per-tensor scale applied to ALL Dense inputs
+
+    class _AllScales(dict):
+        def __contains__(self, k):
+            return True
+
+        def __getitem__(self, k):
+            return 10.0
+
+    q_pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=te, unet=unet, vae_decoder=dec,
+        method_interceptor=w8a8_interceptor(_AllScales()))
+    out = q_pipe.generate_images(cfg, image_hw=(64, 64))
+    # quantization changes the result but stays in the same ballpark
+    assert np.abs(out.latents - ref.latents).max() > 1e-6
+    assert compute_psnr(out.latents, ref.latents) > 10
