@@ -107,7 +107,6 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         ctx_pos = jnp.repeat(ctx[1:2], N, axis=0)
         pooled = text["pooled"]
 
-        H = W = None
         osz = cfg.original_size or (1024, 1024)
         tsz = cfg.target_size or (1024, 1024)
         crop = cfg.crops_coords_top_left

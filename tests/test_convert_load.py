@@ -26,9 +26,6 @@ from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
 
 from helpers import flax_params_to_diffusers_sd
 
-VOCAB_ITEMS = None
-
-
 def _write_tokenizer(d):
     chars = "abcdefghijklmnopqrstuvwxyz"
     vocab = {}
