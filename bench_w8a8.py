@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""W8A8 serving benchmark: SD-2.1 512x512 with all large Dense layers running
+as int8 MXU matmuls (compress/w8a8.py serving interceptor).
+
+Speed-only (random weights, fixed activation scales); quality recipes come
+from the calibration + sensitivity machinery in compress/w8a8.py.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.compress.w8a8 import (
+    quantize_tree_dense_int8,
+    w8a8_serving_interceptor,
+)
+from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
+from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
+
+STEPS = 20
+GUIDANCE = 7.5
+
+
+class _ConstScales(dict):
+    def __contains__(self, k):
+        return True
+
+    def __getitem__(self, k):
+        return 8.0
+
+
+def main():
+    cfg = UNetConfig.sd21()
+    model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
+    h = w = 64
+    sample = jnp.zeros((2, h, w, 4), jnp.float32)
+    t0 = jnp.zeros((2,), jnp.float32)
+    ctx = jnp.zeros((2, 77, cfg.cross_attention_dim), jnp.float32)
+    shapes = jax.eval_shape(lambda k: model.init(k, sample, t0, ctx),
+                            jax.random.key(0))["params"]
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.key(0), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
+        for k, s in zip(keys, leaves)])
+
+    int8_w = quantize_tree_dense_int8(params)
+    print(f"# int8 dense layers: {len(int8_w)}")
+    interceptor = w8a8_serving_interceptor(_ConstScales(), int8_w,
+                                           skip_patterns=())
+
+    sched = DPMSolverMultistepScheduler()
+    plan = sched.set_timesteps(STEPS)
+
+    @jax.jit
+    def denoise(params, latents, context):
+        with nn.intercept_methods(interceptor):
+            state = sched.initial_state(plan, latents.shape)
+
+            def step(carry, i):
+                lat, st = carry
+                lat2 = jnp.concatenate([lat, lat], axis=0)
+                eps = model.apply({"params": params}, lat2, plan.timesteps[i],
+                                  context)
+                neg, pos = jnp.split(eps, 2, axis=0)
+                guided = neg + GUIDANCE * (pos - neg)
+                st, lat = sched.step(plan, st, guided, i, lat)
+                return (lat, st), None
+
+            (lat, _), _ = jax.lax.scan(step, (latents, state),
+                                       jnp.arange(plan.num_steps))
+            return lat
+
+    context = jax.random.normal(jax.random.key(2), (2, 77, 1024), jnp.float32)
+
+    def fresh(i):
+        return jax.random.normal(jax.random.key(100 + i), (1, h, w, 4),
+                                 jnp.float32)
+
+    denoise(params, fresh(0), context).block_until_ready()
+    times = []
+    for i in range(3):
+        lat = fresh(i + 1)
+        lat.block_until_ready()
+        t = time.perf_counter()
+        denoise(params, lat, context).block_until_ready()
+        times.append(time.perf_counter() - t)
+    iters = STEPS / min(times)
+    print(json.dumps({
+        "metric": "SD-2.1-base 512x512 diffusion speed, W8A8 dense serving",
+        "value": round(iters, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(iters / 3.07, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

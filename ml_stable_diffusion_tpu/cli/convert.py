@@ -34,6 +34,11 @@ def parser_spec():
     p.add_argument("--bundle-resources-for-generation", action="store_true",
                    help="copy tokenizer files next to the artifacts "
                         "(reference bundle_resources_for_swift_cli)")
+    p.add_argument("--convert-multilingual-projection", default=None,
+                   metavar="TORCH_CKPT",
+                   help="convert a user-trained multilingual projection "
+                        "(torch Linear state dict; reference "
+                        "multilingual_projection.py:15-45)")
     p.add_argument("--check-output-correctness", action="store_true",
                    help="reload each saved artifact and verify bit-equality "
                         "(the reference's conversion-time correctness gate, "
@@ -102,6 +107,17 @@ def run(args):
         artifacts.save_module(out, enc_params, config=enc.config,
                               name="VAEEncoder")
         logger.info("VAEEncoder converted")
+    if args.convert_multilingual_projection:
+        import torch
+
+        from ..models.multilingual import port_multilingual_projection
+
+        sd = torch.load(args.convert_multilingual_projection,
+                        map_location="cpu", weights_only=True)
+        params = port_multilingual_projection(sd)
+        artifacts.save_module(out, params,
+                              name="MultilingualTextEncoderProjection")
+        logger.info("MultilingualTextEncoderProjection converted")
     if args.bundle_resources_for_generation:
         tok = src / "tokenizer"
         for f in ("vocab.json", "merges.txt"):

@@ -167,3 +167,26 @@ def w8a8_serving_interceptor(act_scales: dict[str, float],
         return next_fun(*args, **kwargs)
 
     return interceptor
+
+
+def quantize_tree_dense_int8(params, min_size: int = 1 << 14,
+                             skip_patterns: Sequence[str] = ()) -> dict:
+    """Walk a param pytree and pre-quantize every 2-D Dense kernel above
+    ``min_size`` to int8 -> {module_path: (w_q, w_scale)} for
+    ``w8a8_serving_interceptor``."""
+    import jax
+
+    from ..ops.int8 import quantize_weight_int8
+
+    out = {}
+    for p, leaf in jax.tree_util.tree_leaves_with_path(params):
+        names = tuple(x.key for x in p if hasattr(x, "key"))
+        if names[-1] != "kernel" or leaf.ndim != 2:
+            continue
+        if leaf.size < min_size:
+            continue
+        key = "/".join(names[:-1])
+        if any(s in key for s in skip_patterns):
+            continue
+        out[key] = quantize_weight_int8(jnp.asarray(leaf))
+    return out

@@ -98,3 +98,17 @@ def test_compress_cli_mbp_flow(sd_checkpoint, tmp_path):
     ])
     cli_compress.run(args)
     assert (out_dir / "Unet.safetensors").exists()
+
+
+def test_convert_multilingual_projection(tmp_path):
+    import torch
+
+    lin = torch.nn.Linear(512, 64)
+    ckpt = tmp_path / "proj.pt"
+    torch.save(lin.state_dict(), ckpt)
+    out = tmp_path / "out"
+    args = cli_convert.parser_spec().parse_args([
+        "-i", str(tmp_path), "-o", str(out),
+        "--convert-multilingual-projection", str(ckpt)])
+    cli_convert.run(args)
+    assert (out / "MultilingualTextEncoderProjection.safetensors").exists()
