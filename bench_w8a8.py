@@ -52,14 +52,17 @@ def main():
 
     int8_w = quantize_tree_dense_int8(params)
     print(f"# int8 dense layers: {len(int8_w)}")
-    interceptor = w8a8_serving_interceptor(_ConstScales(), int8_w,
-                                           skip_patterns=())
 
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)
 
     @jax.jit
-    def denoise(params, latents, context):
+    def denoise(params, int8_w, latents, context):
+        # the interceptor must close over TRACED int8 weights; closing over
+        # concrete arrays would inline them as HLO constants (the remote
+        # compiler rejects the resulting payload with HTTP 413)
+        interceptor = w8a8_serving_interceptor(_ConstScales(), int8_w,
+                                               skip_patterns=())
         with nn.intercept_methods(interceptor):
             state = sched.initial_state(plan, latents.shape)
 
@@ -83,13 +86,13 @@ def main():
         return jax.random.normal(jax.random.key(100 + i), (1, h, w, 4),
                                  jnp.float32)
 
-    denoise(params, fresh(0), context).block_until_ready()
+    denoise(params, int8_w, fresh(0), context).block_until_ready()
     times = []
     for i in range(3):
         lat = fresh(i + 1)
         lat.block_until_ready()
         t = time.perf_counter()
-        denoise(params, lat, context).block_until_ready()
+        denoise(params, int8_w, lat, context).block_until_ready()
         times.append(time.perf_counter() - t)
     iters = STEPS / min(times)
     print(json.dumps({

@@ -121,17 +121,35 @@ class StableDiffusionPipeline:
         neg, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
         return {"ids": np.stack([neg, pos])}
 
-    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
+                     bundle: dict) -> dict:
         """-> {"context": (2, 77, C), ...}; traced inside the program."""
         out = self.text_encoder.apply(
-            {"params": self.text_encoder_params}, token_inputs["ids"])
+            {"params": bundle["text_encoder"]}, token_inputs["ids"])
         return {"context": out[self.text_embedding_key]}
+
+    # -- params bundle -----------------------------------------------------------
+    #
+    # All weights are passed into the compiled programs as ARGUMENTS rather
+    # than closed-over constants: constants are inlined into the serialized
+    # HLO, which bloats executables and overflows remote compilers at real
+    # model sizes.
+
+    def _params_bundle(self) -> dict:
+        b = {"unet": self.unet_params,
+             "controlnets": [p for _, p in self.controlnets]}
+        if self.text_encoder is not None:
+            b["text_encoder"] = self.text_encoder_params
+        if self.vae_encoder is not None:
+            b["vae_encoder"] = self.vae_encoder_params
+        return b
 
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
 
-    def _call_unet(self, latents, t, context, added_cond, down_res, mid_res):
+    def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
+                   mid_res):
         return self.unet.apply(
-            {"params": self.unet_params}, latents, t, context,
+            {"params": bundle["unet"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
             mid_block_residual=mid_res)
 
@@ -172,8 +190,8 @@ class StableDiffusionPipeline:
         needs_noise = scheduler.needs_noise
         phases = self._denoise_phases(cfg, plan.num_steps)
 
-        def encode_stage(token_ids, init_image, key, init_noise):
-            text = self._encode_text(cfg, token_ids)
+        def encode_stage(bundle, token_ids, init_image, key, init_noise):
+            text = self._encode_text(cfg, token_ids, bundle)
             if init_noise is None:
                 noise = jax.random.normal(jax.random.fold_in(key, 0),
                                           (N, h, w, C), jnp.float32)
@@ -181,7 +199,7 @@ class StableDiffusionPipeline:
                 noise = init_noise
             if img2img:
                 moments = self.vae_encoder.apply(
-                    {"params": self.vae_encoder_params}, init_image)
+                    {"params": bundle["vae_encoder"]}, init_image)
                 if init_noise is None:
                     enc_noise = jax.random.normal(jax.random.fold_in(key, 1),
                                                   (N, h, w, C), jnp.float32)
@@ -195,15 +213,16 @@ class StableDiffusionPipeline:
                 latents = noise * plan.init_noise_sigma
             return latents, text
 
-        def make_denoiser(call_unet, ctx_neg, ctx_pos, added_neg, added_pos,
-                          ctrl_images):
+        def make_denoiser(bundle, call_unet, ctx_neg, ctx_pos, added_neg,
+                          added_pos, ctrl_images):
             def controlnet_stage(latents_in, t):
                 if n_ctrl == 0:
                     return None, None
                 down_sum = mid_sum = None
-                for ci, (cn_model, cn_params) in enumerate(self.controlnets):
-                    d, m = cn_model.apply({"params": cn_params}, latents_in, t,
-                                          ctx_pos, ctrl_images[ci])
+                for ci, (cn_model, _) in enumerate(self.controlnets):
+                    d, m = cn_model.apply(
+                        {"params": bundle["controlnets"][ci]}, latents_in, t,
+                        ctx_pos, ctrl_images[ci])
                     if down_sum is None:
                         down_sum, mid_sum = list(d), m
                     else:  # residual accumulation (ControlNet.swift:100-114)
@@ -214,14 +233,14 @@ class StableDiffusionPipeline:
             def denoise(latents_in, t):
                 down_res, mid_res = controlnet_stage(latents_in, t)
                 if not guidance_on:
-                    return call_unet(latents_in, t, ctx_pos, added_pos,
+                    return call_unet(bundle, latents_in, t, ctx_pos, added_pos,
                                      down_res, mid_res)
                 if batch_one:
                     # serial CFG parity mode (pipeline.py:540-557)
-                    out_neg = call_unet(latents_in, t, ctx_neg, added_neg,
-                                        down_res, mid_res)
-                    out_pos = call_unet(latents_in, t, ctx_pos, added_pos,
-                                        down_res, mid_res)
+                    out_neg = call_unet(bundle, latents_in, t, ctx_neg,
+                                        added_neg, down_res, mid_res)
+                    out_pos = call_unet(bundle, latents_in, t, ctx_pos,
+                                        added_pos, down_res, mid_res)
                 else:
                     lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
                     ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
@@ -235,7 +254,7 @@ class StableDiffusionPipeline:
                         dr2 = [jnp.concatenate([r, r], axis=0) for r in down_res]
                     if mid_res is not None:
                         mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
-                    out = call_unet(lat2, t, ctx2, added2, dr2, mr2)
+                    out = call_unet(bundle, lat2, t, ctx2, added2, dr2, mr2)
                     out_neg, out_pos = jnp.split(out, 2, axis=0)
                 # performGuidance (StableDiffusionPipeline.swift:465-483)
                 return out_neg + g * (out_pos - out_neg)
@@ -265,22 +284,23 @@ class StableDiffusionPipeline:
 
             return step
 
-        def phase_denoisers(text, ctrl_images):
+        def phase_denoisers(bundle, text, ctrl_images):
             out = []
             for pi, (lo, hi, call_unet) in enumerate(phases):
                 ctx_neg, ctx_pos, added_neg, added_pos = \
                     self._phase_conditioning(cfg, text, N, call_unet)
-                out.append((lo, hi, make_denoiser(call_unet, ctx_neg, ctx_pos,
-                                                  added_neg, added_pos,
-                                                  ctrl_images)))
+                out.append((lo, hi, make_denoiser(bundle, call_unet, ctx_neg,
+                                                  ctx_pos, added_neg,
+                                                  added_pos, ctrl_images)))
             return out
 
-        def full_run(token_ids, init_image, key, init_noise, step_noises,
-                     ctrl_images):
-            latents, text = encode_stage(token_ids, init_image, key, init_noise)
+        def full_run(bundle, token_ids, init_image, key, init_noise,
+                     step_noises, ctrl_images):
+            latents, text = encode_stage(bundle, token_ids, init_image, key,
+                                         init_noise)
             state = scheduler.initial_state(plan, latents.shape)
             idx = jnp.arange(plan.num_steps)
-            for lo, hi, denoiser in phase_denoisers(text, ctrl_images):
+            for lo, hi, denoiser in phase_denoisers(bundle, text, ctrl_images):
                 step = make_step(denoiser, key)
                 xs = (idx[lo:hi],
                       None if step_noises is None else step_noises[lo:hi])
@@ -288,14 +308,17 @@ class StableDiffusionPipeline:
             return latents
 
         # per-step entry points for the callback path
-        def init_run(token_ids, init_image, key, init_noise):
-            latents, text = encode_stage(token_ids, init_image, key, init_noise)
+        def init_run(bundle, token_ids, init_image, key, init_noise):
+            latents, text = encode_stage(bundle, token_ids, init_image, key,
+                                         init_noise)
             state = scheduler.initial_state(plan, latents.shape)
             return latents, state, text
 
         def make_one_step(phase_idx):
-            def one_step(latents, state, text, i, step_noise, key, ctrl_images):
-                lo, hi, denoiser = phase_denoisers(text, ctrl_images)[phase_idx]
+            def one_step(bundle, latents, state, text, i, step_noise, key,
+                         ctrl_images):
+                lo, hi, denoiser = phase_denoisers(bundle, text,
+                                                   ctrl_images)[phase_idx]
                 step = make_step(denoiser, key)
                 (latents, state), _ = step((latents, state), (i, step_noise))
                 return latents, state
@@ -330,9 +353,10 @@ class StableDiffusionPipeline:
         shift = ((cfg.decoder_shift_factor if cfg else None)
                  or self.default_latent_shift)
         if self._decode_fn is None:
-            self._decode_fn = jax.jit(lambda z: self.vae_decoder.apply(
-                {"params": self.vae_decoder_params}, z))
-        imgs = self._decode_fn(jnp.asarray(latents) / scale + shift)
+            self._decode_fn = jax.jit(lambda vp, z: self.vae_decoder.apply(
+                {"params": vp}, z))
+        imgs = self._decode_fn(self.vae_decoder_params,
+                               jnp.asarray(latents) / scale + shift)
         return tensor_to_pil(np.asarray(imgs))
 
     def run_safety_checker(self, images):
@@ -397,13 +421,14 @@ class StableDiffusionPipeline:
             init_image = jnp.asarray(
                 np.broadcast_to(arr, (N, h * ds, w * ds, 3)).copy())
 
+        bundle = self._params_bundle()
         t0 = time.perf_counter()
         if progress_handler is None:
-            latents = prog["full"](token_ids, init_image, rng_key,
+            latents = prog["full"](bundle, token_ids, init_image, rng_key,
                                    init_noise, step_noises,
                                    self._ctrl_images(cfg, N))
         else:
-            latents, state, text = prog["init"](token_ids, init_image,
+            latents, state, text = prog["init"](bundle, token_ids, init_image,
                                                 rng_key, init_noise)
             ctrl = self._ctrl_images(cfg, N)
             stopped = False
@@ -413,7 +438,8 @@ class StableDiffusionPipeline:
                 for i in range(lo, hi):
                     sn = step_noises[i] if step_noises is not None else None
                     latents, state = prog["steps"][pi](
-                        latents, state, text, jnp.asarray(i), sn, rng_key, ctrl)
+                        bundle, latents, state, text, jnp.asarray(i), sn,
+                        rng_key, ctrl)
                     keep_going = progress_handler(PipelineProgress(
                         self, i + 1, plan.num_steps, np.asarray(latents)))
                     if keep_going is False:  # early stop (reference :338-349)

@@ -75,18 +75,26 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
             out["mask_t5"] = np.stack([neg_m, pos_m])
         return out
 
-    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
+    def _params_bundle(self) -> dict:
+        b = super()._params_bundle()
+        b["text_encoder2"] = self.text_encoder2_params
+        if self.t5_encoder is not None:
+            b["t5"] = self.t5_encoder_params
+        return b
+
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
+                     bundle: dict) -> dict:
         out1 = self.text_encoder.apply(
-            {"params": self.text_encoder_params}, token_inputs["ids"])
+            {"params": bundle["text_encoder"]}, token_inputs["ids"])
         out2 = self.text_encoder2.apply(
-            {"params": self.text_encoder2_params}, token_inputs["ids2"])
+            {"params": bundle["text_encoder2"]}, token_inputs["ids2"])
         clip_ctx = jnp.concatenate([out1["penultimate_hidden_state"],
                                     out2["penultimate_hidden_state"]], axis=-1)
         # zero-pad the CLIP context up to the MMDiT context width (:224-240)
         pad = self.context_dim - clip_ctx.shape[-1]
         clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
         if self.t5_encoder is not None:
-            t5 = self.t5_encoder.apply({"params": self.t5_encoder_params},
+            t5 = self.t5_encoder.apply({"params": bundle["t5"]},
                                        token_inputs["ids_t5"],
                                        token_inputs["mask_t5"])
             ctx = jnp.concatenate([clip_ctx, t5["encoder_hidden_states"]], axis=1)
@@ -98,8 +106,9 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
 
     # -- denoiser ------------------------------------------------------------------
 
-    def _call_unet(self, latents, t, context, added_cond, down_res, mid_res):
-        return self.unet.apply({"params": self.unet_params}, latents, t,
+    def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
+                   mid_res):
+        return self.unet.apply({"params": bundle["unet"]}, latents, t,
                                context, added_cond["pooled"])
 
     def _phase_conditioning(self, cfg, text, N, call_unet):

@@ -58,14 +58,22 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             self.force_zeros_for_empty_prompt and cfg.negative_prompt == "")
         return out
 
-    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict) -> dict:
+    def _params_bundle(self) -> dict:
+        b = super()._params_bundle()
+        b["text_encoder2"] = self.text_encoder2_params
+        if self.refiner_unet is not None:
+            b["refiner"] = self.refiner_unet_params
+        return b
+
+    def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
+                     bundle: dict) -> dict:
         out2 = self.text_encoder2.apply(
-            {"params": self.text_encoder2_params}, token_inputs["ids2"])
+            {"params": bundle["text_encoder2"]}, token_inputs["ids2"])
         ctx2 = out2["penultimate_hidden_state"]
         pooled = out2["pooled_output"]
         if self.text_encoder is not None:
             out1 = self.text_encoder.apply(
-                {"params": self.text_encoder_params}, token_inputs["ids"])
+                {"params": bundle["text_encoder"]}, token_inputs["ids"])
             ctx1 = out1["penultimate_hidden_state"]
             # concat [1,77,768]+[1,77,1280] -> 2048 (XLPipeline:285-313)
             ctx = jnp.concatenate([ctx1, ctx2], axis=-1)
@@ -93,9 +101,10 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             phases.append((cut, num_steps, self._call_refiner))
         return phases
 
-    def _call_refiner(self, latents, t, context, added_cond, down_res, mid_res):
+    def _call_refiner(self, bundle, latents, t, context, added_cond,
+                      down_res, mid_res):
         return self.refiner_unet.apply(
-            {"params": self.refiner_unet_params}, latents, t, context,
+            {"params": bundle["refiner"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
             mid_block_residual=mid_res)
 

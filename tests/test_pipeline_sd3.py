@@ -95,7 +95,7 @@ def test_sd3_txt2img(sd3_pipe):
 
 def test_sd3_context_assembly(sd3_pipe):
     tokens = {k: jnp.asarray(v) for k, v in sd3_pipe._tokenize(_cfg()).items()}
-    text = sd3_pipe._encode_text(_cfg(), tokens)
+    text = sd3_pipe._encode_text(_cfg(), tokens, sd3_pipe._params_bundle())
     # 77 CLIP positions + 16 T5 positions, zero-padded CLIP channels
     assert text["context"].shape == (2, 77 + 16, MM_CTX)
     assert text["pooled"].shape == (2, 2 * POOLED)

@@ -81,7 +81,7 @@ def test_force_zeros_for_empty_negative(xl_pipe):
     (reference pipeline.py:183-187)."""
     tokens = xl_pipe._tokenize(_cfg(negative_prompt=""))
     assert tokens["zero_negative"]
-    text = xl_pipe._encode_text(_cfg(), {k: jnp.asarray(v) for k, v in tokens.items()})
+    text = xl_pipe._encode_text(_cfg(), {k: jnp.asarray(v) for k, v in tokens.items()}, xl_pipe._params_bundle())
     np.testing.assert_allclose(np.asarray(text["context"][0]), 0.0)
     np.testing.assert_allclose(np.asarray(text["pooled"][0]), 0.0)
     assert np.abs(np.asarray(text["context"][1])).max() > 0
@@ -89,7 +89,7 @@ def test_force_zeros_for_empty_negative(xl_pipe):
 
 def test_context_dims(xl_pipe):
     tokens = xl_pipe._tokenize(_cfg(negative_prompt="dog"))
-    text = xl_pipe._encode_text(_cfg(), {k: jnp.asarray(v) for k, v in tokens.items()})
+    text = xl_pipe._encode_text(_cfg(), {k: jnp.asarray(v) for k, v in tokens.items()}, xl_pipe._params_bundle())
     assert text["context"].shape == (2, 77, XL_CTX)
     assert text["context2"].shape == (2, 77, CTX_DIM)
     assert text["pooled"].shape == (2, POOLED_DIM)
@@ -99,7 +99,7 @@ def test_time_ids_shapes(xl_pipe):
     cfg = _cfg(original_size=(512, 512), target_size=(768, 768),
                aesthetic_score=6.5)
     tokens = xl_pipe._tokenize(cfg)
-    text = xl_pipe._encode_text(cfg, {k: jnp.asarray(v) for k, v in tokens.items()})
+    text = xl_pipe._encode_text(cfg, {k: jnp.asarray(v) for k, v in tokens.items()}, xl_pipe._params_bundle())
     # base phase: 6 time ids (size+crop+target)
     _, _, aneg, apos = xl_pipe._phase_conditioning(cfg, text, 1,
                                                    xl_pipe._call_unet)
