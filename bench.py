@@ -31,6 +31,10 @@ GUIDANCE = 7.5
 
 def main():
     cfg = UNetConfig.sd21()
+    if os.environ.get("SDTPU_FUSE_QKV") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fuse_qkv=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8
@@ -46,6 +50,7 @@ def main():
     params = jax.tree.unflatten(treedef, [
         (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02)
         for k, s in zip(keys, leaves)])
+    # NOTE: with SDTPU_FUSE_QKV=1 the init already builds fused to_qkv params
 
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)

@@ -44,6 +44,8 @@ def parser_spec() -> argparse.ArgumentParser:
     p.add_argument("--unet-batch-one", action="store_true")
     p.add_argument("--attention-implementation", default="auto",
                    choices=["auto", "xla", "flash"])
+    p.add_argument("--fuse-qkv", action="store_true",
+                   help="serve-time fused qkv projections for self-attention")
     p.add_argument("--refiner-start", type=float, default=0.8)
     p.add_argument("--custom-vae", default=None)
     p.add_argument("--controlnet", nargs="*", default=[],
@@ -65,7 +67,8 @@ def run(args) -> list:
     h, w = (int(x) for x in args.size.split("x"))
 
     pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae,
-                         controlnet_dirs=args.controlnet)
+                         controlnet_dirs=args.controlnet,
+                         fuse_qkv=args.fuse_qkv)
 
     starting_image = None
     if args.image:

@@ -143,11 +143,19 @@ def load_text_encoder(module_dir: str | Path, dtype=jnp.float32,
     return CLIPTextEncoder(cfg, dtype=dtype), params
 
 
-def load_unet(module_dir: str | Path, dtype=jnp.bfloat16):
+def load_unet(module_dir: str | Path, dtype=jnp.bfloat16,
+              fuse_qkv: bool = False):
+    import dataclasses
+
     module_dir = Path(module_dir)
     cfg = unet_config_from_diffusers(_config_json(module_dir))
     sd = load_safetensors_state_dict(module_dir)
     params = port_unet(sd, cfg)
+    if fuse_qkv:
+        from .optimize import fuse_qkv_params
+
+        cfg = dataclasses.replace(cfg, fuse_qkv=True)
+        params = fuse_qkv_params(params)
     if dtype == jnp.bfloat16:
         import jax
 
@@ -193,7 +201,7 @@ def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
 
 def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
                   refiner_dir=None, controlnet_dirs=(),
-                  compute_dtype=jnp.bfloat16):
+                  compute_dtype=jnp.bfloat16, fuse_qkv: bool = False):
     """Assemble a pipeline from a diffusers-layout checkpoint directory.
 
     Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
@@ -217,8 +225,9 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         te = (load_text_encoder(root / "text_encoder")
               if (root / "text_encoder").exists() else None)
         te2 = load_text_encoder(root / "text_encoder_2", with_projection=True)
-        unet = load_unet(root / "unet", dtype=compute_dtype)
-        refiner = (load_unet(Path(refiner_dir) / "unet", dtype=compute_dtype)
+        unet = load_unet(root / "unet", dtype=compute_dtype, fuse_qkv=fuse_qkv)
+        refiner = (load_unet(Path(refiner_dir) / "unet", dtype=compute_dtype,
+                             fuse_qkv=fuse_qkv)
                    if refiner_dir else None)
         return StableDiffusionXLPipeline(
             tokenizer=tok, tokenizer2=tok2, text_encoder=te,
@@ -261,7 +270,7 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
             mmdit=mmdit, vae_decoder=dec, vae_encoder=enc)
 
     te = load_text_encoder(root / "text_encoder")
-    unet = load_unet(root / "unet", dtype=compute_dtype)
+    unet = load_unet(root / "unet", dtype=compute_dtype, fuse_qkv=fuse_qkv)
     controlnets = [load_controlnet(d, dtype=compute_dtype)
                    for d in controlnet_dirs]
     return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,

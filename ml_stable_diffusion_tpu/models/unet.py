@@ -56,6 +56,9 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     #: SDXL: 2816 = 1280 pooled + 6*256 time ids; refiner: 2560 (5 ids)
     projection_class_embeddings_input_dim: int = 2816
+    #: serve-time optimization: single fused qkv matmul for self-attention
+    #: (params via convert/optimize.fuse_qkv_params)
+    fuse_qkv: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -165,21 +168,32 @@ class ResnetBlock2D(nn.Module):
 
 class Attention(nn.Module):
     """QKV attention with fused TPU kernel dispatch (replaces the reference's
-    CrossAttention + 3 einsum variants, unet.py:62-120 / attention.py)."""
+    CrossAttention + 3 einsum variants, unet.py:62-120 / attention.py).
+
+    ``fuse_qkv``: self-attention projects q,k,v in ONE matmul (one read of x
+    instead of three — the UNet step is HBM-bandwidth-bound).  Requires
+    params transformed by convert/optimize.fuse_qkv_params."""
 
     query_dim: int
     heads: int
     context_dim: int | None = None
+    fuse_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_self = context is None
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if self.fuse_qkv and is_self:
+            qkv = nn.Dense(3 * inner, use_bias=False, dtype=self.dtype,
+                           name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         B, Sq, _ = q.shape
         Sk = k.shape[1]
         q = q.reshape(B, Sq, self.heads, head_dim)
@@ -212,11 +226,13 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     heads: int
     context_dim: int
+    fuse_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+        x = x + Attention(self.dim, self.heads, fuse_qkv=self.fuse_qkv,
+                          dtype=self.dtype, name="attn1")(
             nn.LayerNorm(dtype=self.dtype, name="norm1")(x))
         x = x + Attention(self.dim, self.heads, self.context_dim,
                           dtype=self.dtype, name="attn2")(
@@ -237,6 +253,7 @@ class SpatialTransformer(nn.Module):
     context_dim: int
     groups: int = 32
     eps: float = 1e-6
+    fuse_qkv: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -249,7 +266,9 @@ class SpatialTransformer(nn.Module):
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(self.channels, self.heads,
-                                      self.context_dim, dtype=self.dtype,
+                                      self.context_dim,
+                                      fuse_qkv=self.fuse_qkv,
+                                      dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(h, context)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(B, H, W, C) + residual
@@ -337,7 +356,7 @@ class UNet2DConditionModel(nn.Module):
                         out_ch, cfg.num_attention_heads[bi],
                         cfg.transformer_layers_per_block[bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
-                        dtype=self.dtype,
+                        fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
                 residuals.append(h)
             if not is_final:
@@ -352,7 +371,7 @@ class UNet2DConditionModel(nn.Module):
         h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
                                cfg.transformer_layers_per_block[-1],
                                cfg.cross_attention_dim, cfg.norm_num_groups,
-                               dtype=self.dtype,
+                               fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
                                name="mid_block_attentions_0")(h, encoder_hidden_states)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
@@ -382,7 +401,7 @@ class UNet2DConditionModel(nn.Module):
                         out_ch, cfg.num_attention_heads[down_bi],
                         cfg.transformer_layers_per_block[down_bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
-                        dtype=self.dtype,
+                        fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
                         name=f"up_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
             if not is_final:
                 h = Upsample2D(out_ch, dtype=self.dtype,

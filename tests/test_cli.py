@@ -112,3 +112,13 @@ def test_convert_multilingual_projection(tmp_path):
         "--convert-multilingual-projection", str(ckpt)])
     cli_convert.run(args)
     assert (out / "MultilingualTextEncoderProjection.safetensors").exists()
+
+
+def test_generate_cli_fuse_qkv(sd_checkpoint, tmp_path):
+    args = cli_generate.parser_spec().parse_args([
+        "a cat", "-i", str(sd_checkpoint), "-o", str(tmp_path),
+        "--step-count", "2", "--size", "64x64", "--scheduler", "DDIM",
+        "--disable-safety", "--fuse-qkv",
+    ])
+    paths = cli_generate.run(args)
+    assert paths[0].exists()

@@ -265,3 +265,21 @@ def test_port_roundtrip_exact():
         key = jax.tree_util.keystr(p)
         assert key in flat_b, key
         np.testing.assert_array_equal(np.asarray(v), flat_b[key], err_msg=key)
+
+
+def test_fuse_qkv_matches_unfused():
+    """fuse_qkv=True + fuse_qkv_params must reproduce the unfused outputs."""
+    from ml_stable_diffusion_tpu.convert.optimize import fuse_qkv_params
+
+    cfg = TINY_SD
+    model = UNet2DConditionModel(cfg)
+    sample, t, ctx, _ = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx)["params"]
+    ref = model.apply({"params": params}, sample, t, ctx)
+
+    fused_cfg = dataclasses.replace(cfg, fuse_qkv=True)
+    fused_model = UNet2DConditionModel(fused_cfg)
+    fused_params = fuse_qkv_params(params)
+    out = fused_model.apply({"params": fused_params}, sample, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
