@@ -31,10 +31,12 @@ GUIDANCE = 7.5
 
 def main():
     cfg = UNetConfig.sd21()
-    if os.environ.get("SDTPU_FUSE_QKV") == "1":
-        import dataclasses
+    import dataclasses
 
+    if os.environ.get("SDTPU_FUSE_QKV") == "1":
         cfg = dataclasses.replace(cfg, fuse_qkv=True)
+    if os.environ.get("SDTPU_FUSED_GN") == "1":
+        cfg = dataclasses.replace(cfg, fused_groupnorm=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8

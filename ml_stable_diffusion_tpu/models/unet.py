@@ -59,6 +59,8 @@ class UNetConfig:
     #: serve-time optimization: single fused qkv matmul for self-attention
     #: (params via convert/optimize.fuse_qkv_params)
     fuse_qkv: bool = False
+    #: serve-time optimization: fused Pallas GroupNorm+SiLU (ops/groupnorm.py)
+    fused_groupnorm: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -136,6 +138,18 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class _GNParams(nn.Module):
+    """Registers scale/bias with nn.GroupNorm's exact param layout so the
+    fused kernel path shares checkpoints with the standard path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ResnetBlock2D(nn.Module):
     """GN->SiLU->conv + time-emb add + GN->SiLU->conv with skip
     (reference ResnetBlock2D unet.py:406-489)."""
@@ -143,21 +157,29 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
+    fused_gn: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    def _gn_silu(self, x, name):
+        if self.fused_gn:
+            from ..ops.groupnorm import group_norm_silu
+
+            scale, bias = _GNParams(x.shape[-1], name=name)()
+            return group_norm_silu(x, scale, bias, self.groups,
+                                   self.eps).astype(self.dtype)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name=name)(x)
+        return nn.silu(h)
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = self._gn_silu(x, "norm1")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = self._gn_silu(h, "norm2")
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -349,6 +371,7 @@ class UNet2DConditionModel(nn.Module):
             is_final = bi == len(cfg.down_block_types) - 1
             for li in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  fused_gn=cfg.fused_groupnorm,
                                   dtype=self.dtype,
                                   name=f"down_blocks_{bi}_resnets_{li}")(h, emb)
                 if btype == "CrossAttnDownBlock2D":
@@ -367,6 +390,7 @@ class UNet2DConditionModel(nn.Module):
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          fused_gn=cfg.fused_groupnorm,
                           dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
         h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
                                cfg.transformer_layers_per_block[-1],
@@ -374,6 +398,7 @@ class UNet2DConditionModel(nn.Module):
                                fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
                                name="mid_block_attentions_0")(h, encoder_hidden_states)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                          fused_gn=cfg.fused_groupnorm,
                           dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
 
         # --- ControlNet residual injection (unet.py:1009-1022) ---
@@ -392,6 +417,7 @@ class UNet2DConditionModel(nn.Module):
                 res = residuals.pop()
                 h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
+                                  fused_gn=cfg.fused_groupnorm,
                                   dtype=self.dtype,
                                   name=f"up_blocks_{bi}_resnets_{li}")(h, emb)
                 if btype == "CrossAttnUpBlock2D":

@@ -283,3 +283,24 @@ def test_fuse_qkv_matches_unfused():
     out = fused_model.apply({"params": fused_params}, sample, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_groupnorm_param_tree_and_fallback():
+    """fused_groupnorm must keep the exact param tree (checkpoint compat)
+    and match the standard path numerically (CPU uses the fallback)."""
+    cfg = TINY_SD
+    fused_cfg = dataclasses.replace(cfg, fused_groupnorm=True)
+    model = UNet2DConditionModel(cfg)
+    fused = UNet2DConditionModel(fused_cfg)
+    sample, t, ctx, _ = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx)["params"]
+    fused_params = fused.init(jax.random.key(0), sample, t, ctx)["params"]
+    ka = {jax.tree_util.keystr(p) for p, _ in
+          jax.tree_util.tree_leaves_with_path(params)}
+    kb = {jax.tree_util.keystr(p) for p, _ in
+          jax.tree_util.tree_leaves_with_path(fused_params)}
+    assert ka == kb
+    ref = model.apply({"params": params}, sample, t, ctx)
+    out = fused.apply({"params": params}, sample, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
