@@ -32,5 +32,12 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
         tp = n_devices // dp
     if dp * tp != n_devices:
         raise ValueError(f"dp({dp}) * tp({tp}) != n_devices({n_devices})")
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh needs {n_devices} devices but only {len(devices)} "
+            f"are visible on backend '{jax.default_backend()}'. For CPU "
+            "testing set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "and jax.config.update('jax_platforms', 'cpu') before any "
+            "backend use (see tests/conftest.py).")
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("dp", "tp"))
