@@ -127,6 +127,62 @@ def t5_config_from_diffusers(cfg: dict) -> T5Config:
     )
 
 
+def scheduler_config_from_diffusers(cfg: dict) -> "SchedulerConfig":
+    """Parse a diffusers ``scheduler/scheduler_config.json`` into our
+    SchedulerConfig.  The reference takes its scheduler straight from the
+    diffusers pipe (pipeline.py:57-80, 730-735) so e.g. a v_prediction
+    checkpoint (SD-2.1 768-v) denoises correctly without user flags."""
+    from ..schedulers.base import (BetaSchedule, PredictionType,
+                                   SchedulerConfig, TimestepSpacing)
+
+    beta_schedule = {
+        "linear": BetaSchedule.LINEAR,
+        "scaled_linear": BetaSchedule.SCALED_LINEAR,
+        "scaledLinear": BetaSchedule.SCALED_LINEAR,
+    }.get(cfg.get("beta_schedule", "scaled_linear"))
+    if beta_schedule is None:
+        raise ValueError(
+            f"unsupported beta_schedule {cfg.get('beta_schedule')!r}")
+    spacing = TimestepSpacing(cfg.get("timestep_spacing", "leading"))
+    return SchedulerConfig(
+        num_train_timesteps=cfg.get("num_train_timesteps", 1000),
+        beta_start=cfg.get("beta_start", 0.00085),
+        beta_end=cfg.get("beta_end", 0.012),
+        beta_schedule=beta_schedule,
+        prediction_type=PredictionType(cfg.get("prediction_type", "epsilon")),
+        steps_offset=cfg.get("steps_offset", 1),
+        timestep_spacing=spacing,
+    )
+
+
+def load_scheduler_config(checkpoint_dir: str | Path):
+    """Read <checkpoint>/scheduler/scheduler_config.json if present; None
+    otherwise (callers fall back to SD defaults)."""
+    path = Path(checkpoint_dir) / "scheduler" / "scheduler_config.json"
+    if not path.exists():
+        return None
+    return scheduler_config_from_diffusers(json.loads(path.read_text()))
+
+
+def load_safety_checker(module_dir: str | Path, dtype=jnp.float32):
+    """HF safety_checker/ directory -> (SafetyChecker, params).
+    Reference converts (torch2coreml.py:1119) and loads it
+    (coreml_model.py:184-186) as a first-class pipeline module."""
+    from ..models.safety import SafetyChecker
+    from .safety import port_safety_checker, safety_config_from_diffusers
+
+    import dataclasses
+
+    module_dir = Path(module_dir)
+    cfg = safety_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    # concept-bank sizes exist only as buffer shapes in HF checkpoints
+    cfg = dataclasses.replace(
+        cfg, num_concepts=sd["concept_embeds"].shape[0],
+        num_special_care=sd["special_care_embeds"].shape[0])
+    return SafetyChecker(cfg, dtype=dtype), port_safety_checker(sd, cfg)
+
+
 def _is_projection_encoder(module_dir: Path) -> bool:
     cfg = _config_json(module_dir)
     return "CLIPTextModelWithProjection" in (cfg.get("architectures") or [])
@@ -218,6 +274,11 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
     tok = CLIPTokenizer.from_pretrained_dir(root / "tokenizer")
     vae_dir = Path(custom_vae_dir) if custom_vae_dir else root / "vae"
     dec, enc = load_vae(vae_dir)
+    # scheduler constants come from the checkpoint (reference pipeline.py:57-80)
+    sched_cfg = load_scheduler_config(root)
+    # safety checker is a first-class optional module (coreml_model.py:184-186)
+    safety = (load_safety_checker(root / "safety_checker")
+              if (root / "safety_checker" / "config.json").exists() else None)
 
     if "XL" in family:
         tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
@@ -232,7 +293,10 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         return StableDiffusionXLPipeline(
             tokenizer=tok, tokenizer2=tok2, text_encoder=te,
             text_encoder2=te2, unet=unet, refiner_unet=refiner,
-            vae_decoder=dec, vae_encoder=enc)
+            vae_decoder=dec, vae_encoder=enc, safety_checker=safety,
+            scheduler_config=sched_cfg,
+            force_zeros_for_empty_prompt=index.get(
+                "force_zeros_for_empty_prompt", True))
     if "StableDiffusion3" in family:
         from ..pipelines.sd3 import StableDiffusion3Pipeline
         from ..tokenizer.t5 import T5Tokenizer
@@ -267,7 +331,8 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         return StableDiffusion3Pipeline(
             tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
             text_encoder=te, text_encoder2=te2, t5_encoder=t5,
-            mmdit=mmdit, vae_decoder=dec, vae_encoder=enc)
+            mmdit=mmdit, vae_decoder=dec, vae_encoder=enc,
+            safety_checker=safety, scheduler_config=sched_cfg)
 
     te = load_text_encoder(root / "text_encoder")
     unet = load_unet(root / "unet", dtype=compute_dtype, fuse_qkv=fuse_qkv)
@@ -275,6 +340,8 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
                    for d in controlnet_dirs]
     return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
                                    vae_decoder=dec, vae_encoder=enc,
+                                   safety_checker=safety,
+                                   scheduler_config=sched_cfg,
                                    controlnets=controlnets)
 
 

@@ -123,6 +123,41 @@ def _write_vae(d):
     save_file(sd, str(d / "diffusion_pytorch_model.safetensors"))
 
 
+def _write_safety_checker(d, always_flag=False):
+    """Synthetic HF-layout safety_checker/ dir.  ``always_flag`` sets the
+    concept thresholds so any image trips the NSFW rule (for wiring tests)."""
+    vision_cfg = transformers.CLIPVisionConfig(
+        projection_dim=16, image_size=32, patch_size=8, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=2, num_attention_heads=2)
+    torch.manual_seed(0)
+    vm = transformers.CLIPVisionModel(vision_cfg).eval()
+    sd = {f"vision_model.{k}": v.numpy() for k, v in vm.state_dict().items()}
+    g = np.random.RandomState(1)
+    sd["visual_projection.weight"] = g.randn(16, 32).astype(np.float32)
+    sd["concept_embeds"] = g.randn(3, 16).astype(np.float32)
+    thresh = -10.0 if always_flag else 10.0
+    sd["concept_embeds_weights"] = np.full(3, thresh, np.float32)
+    sd["special_care_embeds"] = g.randn(2, 16).astype(np.float32)
+    sd["special_care_embeds_weights"] = np.full(2, 10.0, np.float32)
+    d.mkdir(parents=True)
+    (d / "config.json").write_text(json.dumps({
+        "vision_config": {"image_size": 32, "patch_size": 8,
+                          "hidden_size": 32, "intermediate_size": 64,
+                          "num_hidden_layers": 2, "num_attention_heads": 2},
+        "projection_dim": 16}))
+    save_file(sd, str(d / "model.safetensors"))
+
+
+def _write_scheduler(d, **overrides):
+    d.mkdir(parents=True, exist_ok=True)
+    cfg = {"_class_name": "PNDMScheduler", "num_train_timesteps": 1000,
+           "beta_start": 0.00085, "beta_end": 0.012,
+           "beta_schedule": "scaled_linear", "prediction_type": "epsilon",
+           "steps_offset": 1, "timestep_spacing": "leading"}
+    cfg.update(overrides)
+    (d / "scheduler_config.json").write_text(json.dumps(cfg))
+
+
 @pytest.fixture(scope="module")
 def sd_checkpoint(tmp_path_factory):
     root = tmp_path_factory.mktemp("ckpt")
@@ -132,6 +167,8 @@ def sd_checkpoint(tmp_path_factory):
     _write_text_encoder(root / "text_encoder")
     _write_unet(root / "unet", sharded=True)
     _write_vae(root / "vae")
+    _write_scheduler(root / "scheduler")
+    _write_safety_checker(root / "safety_checker", always_flag=True)
     return root
 
 
@@ -143,6 +180,55 @@ def test_load_pipeline_end_to_end(sd_checkpoint):
         image_hw=(64, 64))
     assert res.latents.shape == (1, 8, 8, 4)
     assert np.isfinite(res.latents).all()
+
+
+def test_safety_checker_engages_through_generate(sd_checkpoint):
+    """A checkpoint with a safety_checker/ dir must load it and run it per
+    generation (reference pipeline.py:286-311): with always-flag thresholds
+    the image comes back blacked out through generate_images."""
+    pipe = load_pipeline(sd_checkpoint, compute_dtype=jnp.float32)
+    assert pipe.safety_checker is not None
+    res = pipe.generate_images(
+        PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                              scheduler="DDIM"),
+        image_hw=(64, 64))
+    assert res.nsfw_flags == [True]
+    assert np.asarray(res.images[0]).max() == 0  # blacked out
+    # --disable-safety bypasses the checker (reference main.swift:66)
+    res2 = pipe.generate_images(
+        PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                              scheduler="DDIM", disable_safety=True),
+        image_hw=(64, 64))
+    assert res2.nsfw_flags == [False]
+
+
+def test_scheduler_config_read_from_checkpoint(sd_checkpoint, tmp_path):
+    """A v_prediction checkpoint must denoise as v-prediction without user
+    flags (reference takes the scheduler from the diffusers pipe,
+    pipeline.py:57-80)."""
+    import shutil
+
+    from ml_stable_diffusion_tpu.schedulers.base import PredictionType
+
+    vpred = tmp_path / "ckpt_vpred"
+    shutil.copytree(sd_checkpoint, vpred)
+    _write_scheduler(vpred / "scheduler", prediction_type="v_prediction",
+                     beta_end=0.02)
+
+    pipe_eps = load_pipeline(sd_checkpoint, compute_dtype=jnp.float32)
+    pipe_v = load_pipeline(vpred, compute_dtype=jnp.float32)
+    assert pipe_eps.scheduler_config.prediction_type == PredictionType.EPSILON
+    assert pipe_v.scheduler_config.prediction_type == PredictionType.V_PREDICTION
+    assert pipe_v.scheduler_config.beta_end == 0.02
+
+    cfg = dict(prompt="cat", step_count=2, seed=0, scheduler="DDIM",
+               disable_safety=True)
+    lat_eps = pipe_eps.generate_images(PipelineConfiguration(**cfg),
+                                       image_hw=(64, 64)).latents
+    lat_v = pipe_v.generate_images(PipelineConfiguration(**cfg),
+                                   image_hw=(64, 64)).latents
+    # same weights + seed, different prediction_type => different trajectory
+    assert not np.allclose(lat_eps, lat_v)
 
 
 def test_sharded_safetensors_loading(sd_checkpoint):
