@@ -57,19 +57,19 @@ def _load_unet(checkpoint):
 
 def run(args):
     from ..compress import (
-        apply_recipe,
         benchmark_signal_integrity,
         build_recipe,
-        palettize_weights,
+        palettize_tree,
     )
+    from ..compress.mixed_bit import apply_recipe_palettized
     from ..convert import artifacts
 
     if args.cmd == "palettize":
         model, params = _load_unet(args.checkpoint)
-        params, stats = palettize_weights(params, args.nbits)
+        params, stats = palettize_tree(params, args.nbits)
         artifacts.save_module(Path(args.output_dir), params,
                               config=model.config, name="Unet")
-        logger.info("palettized: %s", stats)
+        logger.info("palettized (stored compressed): %s", stats)
 
     elif args.cmd == "mbp-analyze":
         model, params = _load_unet(args.checkpoint)
@@ -89,10 +89,11 @@ def run(args):
     elif args.cmd == "mbp-apply":
         model, params = _load_unet(args.checkpoint)
         recipe = json.loads(Path(args.recipe).read_text())
-        params = apply_recipe(params, recipe)
+        params = apply_recipe_palettized(params, recipe)
         artifacts.save_module(Path(args.output_dir), params,
                               config=model.config, name="Unet")
-        logger.info("recipe applied -> %s", args.output_dir)
+        logger.info("recipe applied (stored compressed) -> %s",
+                    args.output_dir)
 
 
 def _one_step_runner(model, args):

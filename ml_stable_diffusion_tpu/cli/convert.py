@@ -1,15 +1,19 @@
 """Conversion CLI: diffusers checkpoint -> TPU artifact bundle.
 
 Flag surface modeled on the reference converter (torch2coreml.py parser_spec
-:1603-1780): per-module convert switches, --quantize-nbits, bundling for the
-generation CLI.  Where the reference traces+compiles to .mlpackage, this
-ports weights into Flax pytrees and stores them as safetensors + manifests
-(convert/artifacts.py).
+:1603-1780): per-module convert switches across every family (SD / SDXL +
+refiner / SD3), ControlNet and safety-checker conversion, --quantize-nbits,
+bundling for the generation CLI.  Where the reference traces+compiles to
+.mlpackage, this ports weights into Flax pytrees stored as safetensors +
+manifests (convert/artifacts.py); palettized weights are stored bit-packed
+(indices+LUT) and served compressed (the ANE decompress-on-execute analog,
+reference README.md:165).
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import shutil
 from pathlib import Path
@@ -26,36 +30,67 @@ def parser_spec():
     p.add_argument("--convert-text-encoder", action="store_true")
     p.add_argument("--convert-vae-decoder", action="store_true")
     p.add_argument("--convert-vae-encoder", action="store_true")
-    p.add_argument("--convert-all", action="store_true")
+    p.add_argument("--convert-safety-checker", action="store_true",
+                   help="reference torch2coreml.py:1119 convert_safety_checker")
+    p.add_argument("--convert-mmdit", action="store_true",
+                   help="SD3 transformer (reference convert_mmdit :1053)")
+    p.add_argument("--convert-t5", action="store_true",
+                   help="SD3 text_encoder_3 (reference _download_t5_model :251)")
+    p.add_argument("--convert-controlnet", nargs="+", default=(),
+                   metavar="DIR",
+                   help="diffusers ControlNet checkpoint dirs (reference "
+                        "convert_controlnet torch2coreml.py:1317)")
+    p.add_argument("--refiner-version", default=None, metavar="DIR",
+                   help="SDXL refiner checkpoint dir; converts its UNet as "
+                        "RefinerUnet (torch2coreml.py:1574-1585)")
+    p.add_argument("--convert-all", action="store_true",
+                   help="convert every module the checkpoint's family needs")
     p.add_argument("--quantize-nbits", type=int, default=None,
                    choices=[1, 2, 4, 6, 8],
-                   help="palettize UNet weights (torch2coreml.py:1592)")
+                   help="palettize UNet/MMDiT weights; artifacts store packed "
+                        "indices+LUT and serve compressed (torch2coreml.py:1592)")
+    p.add_argument("--palettize-min-size", type=int, default=None,
+                   help="min tensor elements to palettize (default 1e5, "
+                        "reference PALETTIZE_MIN_SIZE pre_analysis.py:31)")
     p.add_argument("--custom-vae", default=None)
     p.add_argument("--bundle-resources-for-generation", action="store_true",
-                   help="copy tokenizer files next to the artifacts "
-                        "(reference bundle_resources_for_swift_cli)")
+                   help="copy tokenizer files + scheduler config next to the "
+                        "artifacts and write bundle.json (reference "
+                        "bundle_resources_for_swift_cli)")
     p.add_argument("--convert-multilingual-projection", default=None,
                    metavar="TORCH_CKPT",
                    help="convert a user-trained multilingual projection "
                         "(torch Linear state dict; reference "
                         "multilingual_projection.py:15-45)")
     p.add_argument("--check-output-correctness", action="store_true",
-                   help="reload each saved artifact and verify bit-equality "
+                   help="reload each saved artifact and verify equality "
                         "(the reference's conversion-time correctness gate, "
                         "torch2coreml.py:91-92)")
     return p
 
 
+def _family(src: Path) -> str:
+    index = src / "model_index.json"
+    if index.exists():
+        return json.loads(index.read_text()).get("_class_name",
+                                                 "StableDiffusionPipeline")
+    return "StableDiffusionPipeline"
+
+
 def run(args):
+    import numpy as np
     import jax.numpy as jnp
 
-    from ..compress import palettize_weights
+    from ..compress.palettize import palettize_tree
     from ..convert import artifacts, load
 
     src = Path(args.checkpoint)
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
     all_ = args.convert_all
+    family = _family(src)
+    is_xl = "XL" in family
+    is_sd3 = "StableDiffusion3" in family
 
     def exists(name):
         # idempotent conversion: skip-if-exists (torch2coreml.py:113-126)
@@ -68,45 +103,104 @@ def run(args):
         if not args.check_output_correctness:
             return
         import jax
-        import numpy as np
 
-        from ..convert.artifacts import load_module
+        from ..compress.palettize import PalettizedTensor
 
-        loaded, _ = load_module(out, name=name)
+        def as_dense(x):
+            return (x.dequantize() if isinstance(x, PalettizedTensor)
+                    else np.asarray(x))
+
+        loaded, _ = artifacts.load_module(out, name=name)
+        is_leaf = lambda x: isinstance(x, PalettizedTensor)  # noqa: E731
         for (pa, va), (_, vb) in zip(
-                jax.tree_util.tree_leaves_with_path(params),
+                jax.tree_util.tree_leaves_with_path(params, is_leaf=is_leaf),
                 jax.tree_util.tree_leaves_with_path(loaded)):
             np.testing.assert_array_equal(
-                np.asarray(va), vb, err_msg=jax.tree_util.keystr(pa))
-        logger.info("%s artifact verified bit-exact", name)
+                as_dense(va), vb, err_msg=jax.tree_util.keystr(pa))
+        logger.info("%s artifact verified", name)
 
+    def save(name, params, config=None):
+        artifacts.save_module(out, params, config=config, name=name)
+        check(name, params)
+        logger.info("%s converted", name)
+
+    def quantized(params):
+        """Palettize eligible kernels -> tree with PalettizedTensor leaves
+        (stored compressed; honest on-disk size is logged after save)."""
+        kwargs = {}
+        if args.palettize_min_size is not None:
+            kwargs["min_size"] = args.palettize_min_size
+        tree, stats = palettize_tree(params, args.quantize_nbits, **kwargs)
+        logger.info("palettized @%db: %d tensors, payload %.2fx smaller "
+                    "(%.1f MB -> %.1f MB)",
+                    args.quantize_nbits, stats["palettized"],
+                    stats["orig_bytes"] / max(stats["new_bytes"], 1),
+                    stats["orig_bytes"] / 2**20, stats["new_bytes"] / 2**20)
+        return tree
+
+    # -- text encoders ----------------------------------------------------------
     if (all_ or args.convert_text_encoder) and not exists("TextEncoder"):
-        model, params = load.load_text_encoder(src / "text_encoder")
-        artifacts.save_module(out, params, config=model.config,
-                              name="TextEncoder")
-        check("TextEncoder", params)
-        logger.info("TextEncoder converted")
-    if (all_ or args.convert_unet) and not exists("Unet"):
-        model, params = load.load_unet(src / "unet", dtype=jnp.bfloat16)
+        if (src / "text_encoder").exists():
+            model, params = load.load_text_encoder(
+                src / "text_encoder", with_projection=True if is_sd3 else None)
+            save("TextEncoder", params, model.config)
+        else:
+            logger.info("no text_encoder/ in checkpoint (refiner-only XL)")
+    if ((all_ and (is_xl or is_sd3)) or args.convert_text_encoder) \
+            and (src / "text_encoder_2").exists() and not exists("TextEncoder2"):
+        model, params = load.load_text_encoder(src / "text_encoder_2",
+                                               with_projection=True)
+        save("TextEncoder2", params, model.config)
+    if ((all_ and is_sd3) or args.convert_t5) \
+            and (src / "text_encoder_3").exists() and not exists("TextEncoderT5"):
+        model, params = load.load_t5(src / "text_encoder_3")
+        save("TextEncoderT5", params, model.config)
+
+    # -- denoiser ---------------------------------------------------------------
+    if is_sd3:
+        if (all_ or args.convert_mmdit) and not exists("MMDiT"):
+            model, params = load.load_mmdit(src / "transformer")
+            if args.quantize_nbits:
+                params = quantized(params)
+            save("MMDiT", params, model.config)
+    else:
+        if (all_ or args.convert_unet) and not exists("Unet"):
+            model, params = load.load_unet(src / "unet", dtype=jnp.bfloat16)
+            if args.quantize_nbits:
+                params = quantized(params)
+            save("Unet", params, model.config)
+    if args.refiner_version and not exists("RefinerUnet"):
+        model, params = load.load_unet(Path(args.refiner_version) / "unet",
+                                       dtype=jnp.bfloat16)
         if args.quantize_nbits:
-            params, stats = palettize_weights(params, args.quantize_nbits)
-            logger.info("palettized UNet @%db: %.2fx smaller",
-                        args.quantize_nbits,
-                        stats["orig_bytes"] / max(stats["new_bytes"], 1))
-        artifacts.save_module(out, params, config=model.config, name="Unet")
-        check("Unet", params)
-        logger.info("Unet converted")
+            params = quantized(params)
+        save("RefinerUnet", params, model.config)
+
+    # -- VAE ----------------------------------------------------------------------
     vae_dir = Path(args.custom_vae) if args.custom_vae else src / "vae"
     if (all_ or args.convert_vae_decoder) and not exists("VAEDecoder"):
         (dec, dec_params), _ = load.load_vae(vae_dir)
-        artifacts.save_module(out, dec_params, config=dec.config,
-                              name="VAEDecoder")
-        logger.info("VAEDecoder converted")
+        save("VAEDecoder", dec_params, dec.config)
     if (all_ or args.convert_vae_encoder) and not exists("VAEEncoder"):
         _, (enc, enc_params) = load.load_vae(vae_dir)
-        artifacts.save_module(out, enc_params, config=enc.config,
-                              name="VAEEncoder")
-        logger.info("VAEEncoder converted")
+        save("VAEEncoder", enc_params, enc.config)
+
+    # -- safety checker -------------------------------------------------------------
+    if (all_ or args.convert_safety_checker) \
+            and (src / "safety_checker" / "config.json").exists() \
+            and not exists("SafetyChecker"):
+        model, params = load.load_safety_checker(src / "safety_checker")
+        save("SafetyChecker", params, model.config)
+
+    # -- controlnets ------------------------------------------------------------------
+    for cn_dir in args.convert_controlnet:
+        cn_dir = Path(cn_dir)
+        name = f"ControlNet-{cn_dir.name}"
+        if exists(name):
+            continue
+        model, params = load.load_controlnet(cn_dir)
+        save(name, params, model.config)
+
     if args.convert_multilingual_projection:
         import torch
 
@@ -118,12 +212,37 @@ def run(args):
         artifacts.save_module(out, params,
                               name="MultilingualTextEncoderProjection")
         logger.info("MultilingualTextEncoderProjection converted")
+
+    # -- bundle -----------------------------------------------------------------------
     if args.bundle_resources_for_generation:
-        tok = src / "tokenizer"
-        for f in ("vocab.json", "merges.txt"):
-            if (tok / f).exists():
-                shutil.copy(tok / f, out / f)
-        logger.info("tokenizer resources bundled")
+        for tok_name, dest in (("tokenizer", out), ("tokenizer_2",
+                                                    out / "tokenizer_2")):
+            tok = src / tok_name
+            if not tok.exists():
+                continue
+            dest.mkdir(parents=True, exist_ok=True)
+            for f in ("vocab.json", "merges.txt"):
+                if (tok / f).exists():
+                    shutil.copy(tok / f, dest / f)
+        if (src / "tokenizer_3" / "tokenizer.json").exists():
+            (out / "tokenizer_3").mkdir(exist_ok=True)
+            shutil.copy(src / "tokenizer_3" / "tokenizer.json",
+                        out / "tokenizer_3" / "tokenizer.json")
+        index_file = src / "model_index.json"
+        index = (json.loads(index_file.read_text())
+                 if index_file.exists() else {})
+        sched_file = src / "scheduler" / "scheduler_config.json"
+        bundle = {
+            "family": family,
+            "scheduler": (json.loads(sched_file.read_text())
+                          if sched_file.exists() else None),
+            "force_zeros_for_empty_prompt": index.get(
+                "force_zeros_for_empty_prompt", True),
+            "controlnets": [f"ControlNet-{Path(d).name}"
+                            for d in args.convert_controlnet],
+        }
+        (out / "bundle.json").write_text(json.dumps(bundle, indent=1))
+        logger.info("resources bundled (bundle.json, tokenizers, scheduler)")
 
 
 def main(argv=None):

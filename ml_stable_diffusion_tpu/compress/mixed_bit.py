@@ -148,3 +148,17 @@ def apply_recipe(params, recipe: dict):
             continue
         out = _fake_palettize(out, tuple(key.split("/")), nbits)
     return out
+
+
+def apply_recipe_palettized(params, recipe: dict):
+    """Like apply_recipe but keeps PalettizedTensor leaves, so artifacts
+    store packed indices+LUT and serve compressed (the reference's applied
+    recipe produces a genuinely smaller .mlpackage, apply.py:85-87)."""
+    out = params
+    for key, nbits in recipe.items():
+        if nbits >= 16:
+            continue
+        path = tuple(key.split("/"))
+        w = np.asarray(_get(out, path))
+        out = _set(out, path, palettize_array(w, nbits))
+    return out

@@ -132,3 +132,62 @@ def palettize_weights(params, nbits: int, min_size: int = PALETTIZE_MIN_SIZE):
     --quantize-nbits path, torch2coreml.py:1592)."""
     tree, stats = palettize_tree(params, nbits, min_size)
     return dequantize_tree(tree), stats
+
+
+# -- compressed serving ---------------------------------------------------------
+#
+# The ANE executes palettized models by decompressing weights on the fly
+# (reference README.md:165).  The TPU analog: HBM holds uint8 indices + the
+# LUT; the jitted program expands them ONCE at entry (a LUT gather), so the
+# dense tensors exist only as in-program values.  Disk artifacts bit-pack the
+# indices (ops/palettized.pack_bits) for the full ~(16/nbits)x size win.
+
+
+def split_palettized_tree(tree):
+    """Tree with PalettizedTensor leaves -> (dense_rest, side, meta).
+
+    ``dense_rest``: the tree with palettized leaves REMOVED (re-inserted by
+    ``materialize_palettized`` inside the program).
+    ``side``: {path: {"idx": uint8, "lut": float32}} — a jit-argument pytree.
+    ``meta``: {path: (shape, nbits)} — static, kept on the host object.
+    """
+    side, meta = {}, {}
+
+    def walk(node, prefix):
+        if isinstance(node, PalettizedTensor):
+            path = "/".join(prefix)
+            side[path] = {"idx": np.asarray(node.indices, np.uint8),
+                          "lut": np.asarray(node.lut, np.float32)}
+            meta[path] = (tuple(node.shape), node.nbits)
+            return None
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                r = walk(v, prefix + (k,))
+                if r is not None:
+                    out[k] = r
+            return out
+        return node
+
+    dense = walk(tree, ())
+    return dense or {}, side, meta
+
+
+def materialize_palettized(dense, side, meta, dtype=None):
+    """Re-insert dequantized palettized tensors into ``dense`` (traceable —
+    call INSIDE the jitted program so dense weights never live in HBM
+    between invocations)."""
+    import jax
+
+    out = jax.tree.map(lambda x: x, dense)  # shallow structural copy
+    for path, arrs in side.items():
+        shape, _nbits = meta[path]
+        w = jnp.take(arrs["lut"], arrs["idx"].astype(jnp.int32)).reshape(shape)
+        if dtype is not None:
+            w = w.astype(dtype)
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = w
+    return out

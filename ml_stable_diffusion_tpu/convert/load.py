@@ -248,6 +248,39 @@ def load_controlnet(module_dir: str | Path, dtype=jnp.bfloat16):
     return ControlNetModel(cfg, dtype=dtype), params
 
 
+def mmdit_config_from_diffusers(cfg: dict) -> MMDiTConfig:
+    return MMDiTConfig(
+        patch_size=cfg.get("patch_size", 2),
+        in_channels=cfg.get("in_channels", 16),
+        out_channels=cfg.get("out_channels", 16),
+        depth=cfg["num_layers"],
+        hidden_size=(cfg.get("attention_head_dim", 64)
+                     * cfg["num_attention_heads"]),
+        num_heads=cfg["num_attention_heads"],
+        context_dim=cfg.get("joint_attention_dim", 4096),
+        pooled_dim=cfg.get("pooled_projection_dim", 2048),
+        pos_embed_max_size=cfg.get("pos_embed_max_size", 192),
+        qk_norm=cfg.get("qk_norm") is not None,
+    )
+
+
+def load_mmdit(module_dir: str | Path, dtype=jnp.bfloat16):
+    """diffusers SD3 transformer/ directory -> (MMDiT, params)
+    (reference convert_mmdit torch2coreml.py:1053)."""
+    from .mmdit import port_mmdit
+
+    module_dir = Path(module_dir)
+    cfg = mmdit_config_from_diffusers(_config_json(module_dir))
+    sd = load_safetensors_state_dict(module_dir)
+    params = port_mmdit(sd, cfg)
+    if dtype == jnp.bfloat16:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                              if hasattr(x, "astype") else x, params)
+    return MMDiT(cfg, dtype=dtype), params
+
+
 def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
     module_dir = Path(module_dir)
     cfg = t5_config_from_diffusers(_config_json(module_dir))
@@ -309,25 +342,7 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         if (root / "text_encoder_3").exists():
             t5 = load_t5(root / "text_encoder_3", dtype=compute_dtype)
             t5_tok = T5Tokenizer(root / "tokenizer_3" / "tokenizer.json")
-        mmdit_dir = root / "transformer"
-        mcfg_json = _config_json(mmdit_dir)
-        mcfg = MMDiTConfig(
-            patch_size=mcfg_json.get("patch_size", 2),
-            in_channels=mcfg_json.get("in_channels", 16),
-            out_channels=mcfg_json.get("out_channels", 16),
-            depth=mcfg_json["num_layers"],
-            hidden_size=(mcfg_json.get("attention_head_dim", 64)
-                         * mcfg_json["num_attention_heads"]),
-            num_heads=mcfg_json["num_attention_heads"],
-            context_dim=mcfg_json.get("joint_attention_dim", 4096),
-            pooled_dim=mcfg_json.get("pooled_projection_dim", 2048),
-            pos_embed_max_size=mcfg_json.get("pos_embed_max_size", 192),
-            qk_norm=mcfg_json.get("qk_norm") is not None,
-        )
-        from .mmdit import port_mmdit
-
-        sd = load_safetensors_state_dict(mmdit_dir)
-        mmdit = (MMDiT(mcfg, dtype=compute_dtype), port_mmdit(sd, mcfg))
+        mmdit = load_mmdit(root / "transformer", dtype=compute_dtype)
         return StableDiffusion3Pipeline(
             tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
             text_encoder=te, text_encoder2=te2, t5_encoder=t5,
@@ -347,27 +362,131 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
 
 def load_pipeline_from_artifacts(artifact_dir: str | Path,
                                  compute_dtype=jnp.bfloat16):
-    """Assemble an SD pipeline from a converted artifact bundle
+    """Assemble a pipeline (SD / SDXL / SD3) from a converted artifact bundle
     (cli/convert.py output) — the analog of the reference loading compiled
-    .mlmodelc Resources/ (coreml_model.py get_resource_type/_load_mlpackage).
+    .mlmodelc Resources/ (coreml_model.py get_resource_type/_load_mlpackage;
+    full module set per StableDiffusionPipeline+Resources.swift:11-44 and
+    XL/SD3 +Resources.swift).
+
+    Palettized modules (manifest "palettized" entries) are installed for
+    compressed serving: HBM keeps indices+LUT, the program dequantizes at
+    entry (install_palettized).
     """
-    from .artifacts import load_module
+    from ..models.controlnet import ControlNetModel
+    from ..models.safety import SafetyChecker, SafetyCheckerConfig
     from ..pipelines.sd import StableDiffusionPipeline
+    from .artifacts import load_module
 
     root = Path(artifact_dir)
-    tok = CLIPTokenizer.from_pretrained_dir(root)
+    bundle = {}
+    if (root / "bundle.json").exists():
+        bundle = json.loads((root / "bundle.json").read_text())
+    family = bundle.get("family", "StableDiffusionPipeline")
+    sched_cfg = (scheduler_config_from_diffusers(bundle["scheduler"])
+                 if bundle.get("scheduler") else None)
 
-    def module(name, model_cls, cfg_cls, dtype):
-        params, manifest = load_module(root, name=name)
+    def has(name):
+        return (root / f"{name}.safetensors").exists()
+
+    def module(name, model_cls, cfg_cls, dtype, dequantize=True):
+        params, manifest = load_module(root, name=name, dequantize=dequantize)
         cfg = cfg_cls(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in manifest["config"].items()})
-        return model_cls(cfg, dtype=dtype), params
+        return (model_cls(cfg, dtype=dtype), params,
+                bool(manifest.get("palettized")))
 
-    te = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig, jnp.float32)
-    unet = module("Unet", UNet2DConditionModel, UNetConfig, compute_dtype)
-    dec = module("VAEDecoder", VAEDecoder, VAEConfig, jnp.float32)
+    def denoiser(name, model_cls, cfg_cls):
+        """Load a (possibly palettized) denoiser; -> ((model, dense), pal)."""
+        model, params, is_pal = module(name, model_cls, cfg_cls,
+                                       compute_dtype, dequantize=False)
+        if is_pal:
+            return (model, None), params
+        return (model, params), None
+
+    safety = None
+    if has("SafetyChecker"):
+        model, params, _ = module("SafetyChecker", SafetyChecker,
+                                  SafetyCheckerConfig, jnp.float32)
+        safety = (model, params)
+
+    dec_m, dec_p, _ = module("VAEDecoder", VAEDecoder, VAEConfig, jnp.float32)
+    dec = (dec_m, dec_p)
     enc = None
-    if (root / "VAEEncoder.safetensors").exists():
-        enc = module("VAEEncoder", VAEEncoder, VAEConfig, jnp.float32)
-    return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
-                                   vae_decoder=dec, vae_encoder=enc)
+    if has("VAEEncoder"):
+        enc_m, enc_p, _ = module("VAEEncoder", VAEEncoder, VAEConfig,
+                                 jnp.float32)
+        enc = (enc_m, enc_p)
+
+    def finish(pipe, pal_map):
+        for key, pal in pal_map.items():
+            if pal is not None:
+                pipe.install_palettized(key, pal, dtype=compute_dtype)
+        return pipe
+
+    if "XL" in family:
+        from ..pipelines.sdxl import StableDiffusionXLPipeline
+
+        tok = (CLIPTokenizer.from_pretrained_dir(root)
+               if (root / "vocab.json").exists() else None)
+        tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
+                                                 pad_token="!")
+        te = None
+        if has("TextEncoder"):
+            m, p, _ = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig,
+                             jnp.float32)
+            te = (m, p)
+        m2, p2, _ = module("TextEncoder2", CLIPTextEncoder, CLIPTextConfig,
+                           jnp.float32)
+        unet, unet_pal = denoiser("Unet", UNet2DConditionModel, UNetConfig)
+        refiner = refiner_pal = None
+        if has("RefinerUnet"):
+            refiner, refiner_pal = denoiser("RefinerUnet",
+                                            UNet2DConditionModel, UNetConfig)
+        pipe = StableDiffusionXLPipeline(
+            tokenizer=tok, tokenizer2=tok2, text_encoder=te,
+            text_encoder2=(m2, p2), unet=unet, refiner_unet=refiner,
+            vae_decoder=dec, vae_encoder=enc, safety_checker=safety,
+            scheduler_config=sched_cfg,
+            force_zeros_for_empty_prompt=bundle.get(
+                "force_zeros_for_empty_prompt", True))
+        return finish(pipe, {"unet": unet_pal, "refiner": refiner_pal})
+
+    if "StableDiffusion3" in family:
+        from ..pipelines.sd3 import StableDiffusion3Pipeline
+        from ..tokenizer.t5 import T5Tokenizer
+
+        tok = CLIPTokenizer.from_pretrained_dir(root)
+        tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
+                                                 pad_token="!")
+        m1, p1, _ = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig,
+                           jnp.float32)
+        m2, p2, _ = module("TextEncoder2", CLIPTextEncoder, CLIPTextConfig,
+                           jnp.float32)
+        t5 = t5_tok = None
+        if has("TextEncoderT5"):
+            tm, tp, _ = module("TextEncoderT5", T5Encoder, T5Config,
+                               compute_dtype)
+            t5 = (tm, tp)
+            t5_tok = T5Tokenizer(root / "tokenizer_3" / "tokenizer.json")
+        mmdit, mmdit_pal = denoiser("MMDiT", MMDiT, MMDiTConfig)
+        pipe = StableDiffusion3Pipeline(
+            tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
+            text_encoder=(m1, p1), text_encoder2=(m2, p2), t5_encoder=t5,
+            mmdit=mmdit, vae_decoder=dec, vae_encoder=enc,
+            safety_checker=safety, scheduler_config=sched_cfg)
+        return finish(pipe, {"unet": mmdit_pal})
+
+    tok = CLIPTokenizer.from_pretrained_dir(root)
+    m, p, _ = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig,
+                     jnp.float32)
+    unet, unet_pal = denoiser("Unet", UNet2DConditionModel, UNetConfig)
+    controlnets = []
+    for cn_name in bundle.get("controlnets", ()):
+        cm, cp, _ = module(cn_name, ControlNetModel, UNetConfig,
+                           compute_dtype)
+        controlnets.append((cm, cp))
+    pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=(m, p), unet=unet, vae_decoder=dec,
+        vae_encoder=enc, safety_checker=safety, scheduler_config=sched_cfg,
+        controlnets=controlnets)
+    return finish(pipe, {"unet": unet_pal})

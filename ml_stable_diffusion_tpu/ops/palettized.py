@@ -13,6 +13,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pack_bits(indices: np.ndarray, nbits: int) -> np.ndarray:
+    """uint8 indices < 2^nbits -> dense little-endian bitstream (uint8).
+    Exact nbits/8 bytes per index (+padding to a byte boundary) — the on-disk
+    artifact format (the analog of the reference's palettized .mlpackage
+    weight blobs, torch2coreml.py:182-230)."""
+    idx = np.asarray(indices, np.uint8).ravel()
+    bits = np.unpackbits(idx[:, None], axis=1, bitorder="little")[:, :nbits]
+    return np.packbits(bits.ravel(), bitorder="little")
+
+
+def unpack_bits(packed: np.ndarray, nbits: int, count: int) -> np.ndarray:
+    """Inverse of pack_bits -> uint8 indices (count,)."""
+    bits = np.unpackbits(np.asarray(packed, np.uint8), bitorder="little")
+    bits = bits[: count * nbits].reshape(count, nbits)
+    out = np.zeros(count, np.uint8)
+    for b in range(nbits):
+        out |= (bits[:, b] << b).astype(np.uint8)
+    return out
+
+
 def pack_4bit(indices: np.ndarray) -> np.ndarray:
     """uint8 values < 16, even length -> packed uint8 (two nibbles each)."""
     flat = indices.ravel()

@@ -97,8 +97,51 @@ class StableDiffusionPipeline:
         #: program — the hook for W8A8 serving (compress/w8a8.py
         #: w8a8_serving_interceptor) and similar module-level rewrites
         self.method_interceptor = method_interceptor
+        #: compressed-weight serving (reference ANE decompress-on-execute,
+        #: README.md:165): HBM holds uint8 indices + LUTs; the program
+        #: expands them once at entry.  See install_palettized().
+        self.palettized_side: dict[str, dict] = {}
+        self.palettized_meta: dict[str, tuple] = {}
         self._programs: dict = {}
         self._decode_fn = None
+
+    # -- compressed serving ------------------------------------------------------
+
+    _PALETTIZED_ATTRS = {
+        "unet": "unet_params",
+        "refiner": "refiner_unet_params",
+        "text_encoder": "text_encoder_params",
+        "text_encoder2": "text_encoder2_params",
+    }
+
+    def install_palettized(self, module_key: str, palettized_tree, dtype=None):
+        """Serve ``module_key`` ('unet', 'refiner', ...) from a palettized
+        params tree (PalettizedTensor leaves, compress/palettize).  Dense
+        leaves stay as the module's params; palettized ones live as
+        indices+LUT and are dequantized inside the compiled program."""
+        from ..compress.palettize import split_palettized_tree
+
+        dense, side, meta = split_palettized_tree(palettized_tree)
+        setattr(self, self._PALETTIZED_ATTRS[module_key], dense)
+        if side:
+            self.palettized_side[module_key] = side
+            self.palettized_meta[module_key] = (
+                meta, dtype if dtype is not None else self.unet.dtype)
+        self._programs.clear()
+
+    def _materialize_bundle(self, bundle):
+        """Traced: re-insert dequantized palettized weights (LUT gather) —
+        runs once per program invocation, before any denoise step."""
+        if not self.palettized_side:
+            return bundle
+        from ..compress.palettize import materialize_palettized
+
+        bundle = dict(bundle)
+        side_all = bundle.pop("palettized")
+        for mk, side in side_all.items():
+            meta, dtype = self.palettized_meta[mk]
+            bundle[mk] = materialize_palettized(bundle[mk], side, meta, dtype)
+        return bundle
 
     # -- scheduler -------------------------------------------------------------
 
@@ -142,6 +185,8 @@ class StableDiffusionPipeline:
             b["text_encoder"] = self.text_encoder_params
         if self.vae_encoder is not None:
             b["vae_encoder"] = self.vae_encoder_params
+        if self.palettized_side:
+            b["palettized"] = self.palettized_side
         return b
 
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
@@ -296,6 +341,7 @@ class StableDiffusionPipeline:
 
         def full_run(bundle, token_ids, init_image, key, init_noise,
                      step_noises, ctrl_images):
+            bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
                                          init_noise)
             state = scheduler.initial_state(plan, latents.shape)
@@ -309,6 +355,7 @@ class StableDiffusionPipeline:
 
         # per-step entry points for the callback path
         def init_run(bundle, token_ids, init_image, key, init_noise):
+            bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
                                          init_noise)
             state = scheduler.initial_state(plan, latents.shape)
@@ -317,6 +364,7 @@ class StableDiffusionPipeline:
         def make_one_step(phase_idx):
             def one_step(bundle, latents, state, text, i, step_noise, key,
                          ctrl_images):
+                bundle = self._materialize_bundle(bundle)
                 lo, hi, denoiser = phase_denoisers(bundle, text,
                                                    ctrl_images)[phase_idx]
                 step = make_step(denoiser, key)
