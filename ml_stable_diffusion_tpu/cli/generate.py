@@ -53,7 +53,38 @@ def parser_spec() -> argparse.ArgumentParser:
                         "--controlnet, main.swift:69)")
     p.add_argument("--save-every", type=int, default=0,
                    help="save intermediate images every N steps (main.swift:57)")
+    p.add_argument("--multilingual", action="store_true",
+                   help="use a MultilingualTextEncoderProjection artifact "
+                        "instead of the CLIP text encoder (reference "
+                        "--multilingual, main.swift:96-105 / "
+                        "Resources.swift:73-88)")
+    p.add_argument("--multilingual-projection", default=None, metavar="DIR",
+                   help="directory with MultilingualTextEncoderProjection."
+                        "safetensors (default: the checkpoint directory)")
+    p.add_argument("--multilingual-embedder", default=None,
+                   metavar="MODULE:FUNC",
+                   help="python entrypoint fn(text, script)->(S,512) playing "
+                        "NLContextualEmbedding's role (the reference uses the "
+                        "OS-provided model, MultilingualTextEncoder.swift:36)")
+    p.add_argument("--script", default="latin",
+                   help="writing-script hint passed to the embedder "
+                        "(reference Script enum, MultilingualTextEncoder."
+                        "swift:181-194)")
+    p.add_argument("--use-denoised-intermediates", action="store_true",
+                   help="--save-every previews decode predicted-x0 instead "
+                        "of raw noisy latents (Configuration.swift:44)")
     return p
+
+
+def _load_embedder(spec: str, script: str):
+    """'module:function' -> embed_fn(text)->(S,512), with the script hint
+    bound (reference --script, main.swift:96-105)."""
+    import functools
+    import importlib
+
+    mod_name, _, fn_name = spec.partition(":")
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    return functools.partial(fn, script=script)
 
 
 def run(args) -> list:
@@ -66,9 +97,28 @@ def run(args) -> list:
     prompt = args.prompt_opt or args.prompt or ""
     h, w = (int(x) for x in args.size.split("x"))
 
+    multilingual = None
+    if args.multilingual:
+        from ..convert.artifacts import load_module
+        from ..models.multilingual import MultilingualProjection
+
+        if not args.multilingual_embedder:
+            raise SystemExit(
+                "--multilingual needs --multilingual-embedder MODULE:FUNC "
+                "(an external fn(text, script)->(S,512) embedding model; "
+                "the reference uses the OS NLContextualEmbedding service)")
+        proj_dir = Path(args.multilingual_projection or args.checkpoint_path)
+        params, _ = load_module(proj_dir,
+                                name="MultilingualTextEncoderProjection")
+        hidden = params["linear"]["kernel"].shape[1]
+        embed_fn = _load_embedder(args.multilingual_embedder, args.script)
+        multilingual = (MultilingualProjection(hidden_size=hidden), params,
+                        embed_fn)
+
     pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae,
                          controlnet_dirs=args.controlnet,
-                         fuse_qkv=args.fuse_qkv)
+                         fuse_qkv=args.fuse_qkv,
+                         multilingual_encoder=multilingual)
 
     starting_image = None
     if args.image:
@@ -94,6 +144,7 @@ def run(args) -> list:
         scheduler=args.scheduler, timestep_spacing=args.timestep_spacing,
         timestep_shift=args.timestep_shift, rng=args.rng,
         unet_batch_one=args.unet_batch_one,
+        use_denoised_intermediates=args.use_denoised_intermediates,
         attention_implementation=args.attention_implementation)
 
     out_dir = Path(args.output_path)

@@ -290,7 +290,8 @@ def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
 
 def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
                   refiner_dir=None, controlnet_dirs=(),
-                  compute_dtype=jnp.bfloat16, fuse_qkv: bool = False):
+                  compute_dtype=jnp.bfloat16, fuse_qkv: bool = False,
+                  multilingual_encoder=None):
     """Assemble a pipeline from a diffusers-layout checkpoint directory.
 
     Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
@@ -312,6 +313,10 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
     # safety checker is a first-class optional module (coreml_model.py:184-186)
     safety = (load_safety_checker(root / "safety_checker")
               if (root / "safety_checker" / "config.json").exists() else None)
+    if multilingual_encoder is not None and ("XL" in family
+                                             or "StableDiffusion3" in family):
+        raise ValueError("multilingual text encoding is an SD 1.x/2.x "
+                         "feature (reference Resources.swift:73-88)")
 
     if "XL" in family:
         tok2 = CLIPTokenizer.from_pretrained_dir(root / "tokenizer_2",
@@ -357,6 +362,7 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
                                    vae_decoder=dec, vae_encoder=enc,
                                    safety_checker=safety,
                                    scheduler_config=sched_cfg,
+                                   multilingual_encoder=multilingual_encoder,
                                    controlnets=controlnets)
 
 

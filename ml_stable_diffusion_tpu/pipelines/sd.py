@@ -51,10 +51,14 @@ class PipelineProgress:
     step: int
     step_count: int
     latents: np.ndarray
+    #: predicted-x0 latents when use_denoised_intermediates is on
+    #: (reference Configuration.swift:44, denoisedLatents :424)
+    denoised: np.ndarray | None = None
 
     @property
     def current_images(self):
-        return self.pipeline.decode_latents(self.latents)
+        lat = self.denoised if self.denoised is not None else self.latents
+        return self.pipeline.decode_latents(lat)
 
 
 @dataclasses.dataclass
@@ -83,9 +87,15 @@ class StableDiffusionPipeline:
                  vae_encoder=None, safety_checker=None, controlnets=(),
                  scheduler_config: SchedulerConfig | None = None,
                  text_embedding_key: str = "last_hidden_state",
+                 multilingual_encoder=None,
                  method_interceptor=None):
         self.tokenizer = tokenizer
         self.text_encoder, self.text_encoder_params = text_encoder
+        #: (MultilingualProjection, params, embed_fn) — replaces the CLIP
+        #: text encoder at generation time (reference swaps the encoder at
+        #: load time behind --multilingual, Resources.swift:73-88;
+        #: embed_fn(text)->(S,512) plays NLContextualEmbedding's role)
+        self.multilingual_encoder = multilingual_encoder
         self.unet, self.unet_params = unet
         self.vae_decoder, self.vae_decoder_params = vae_decoder
         self.vae_encoder, self.vae_encoder_params = vae_encoder or (None, None)
@@ -160,6 +170,22 @@ class StableDiffusionPipeline:
     # -- text ------------------------------------------------------------------
 
     def _tokenize(self, cfg: PipelineConfiguration) -> dict[str, np.ndarray]:
+        if self.multilingual_encoder is not None:
+            from ..models.multilingual import EMBED_DIM, MAX_SEQUENCE_LENGTH
+
+            _, _, embed_fn = self.multilingual_encoder
+
+            def embed(text):
+                e = np.asarray(embed_fn(text), np.float32)[:MAX_SEQUENCE_LENGTH]
+                if e.shape[-1] != EMBED_DIM:
+                    raise ValueError(
+                        f"multilingual embed_fn must return (S, {EMBED_DIM})"
+                        f", got {e.shape}")
+                return np.pad(e, ((0, MAX_SEQUENCE_LENGTH - e.shape[0]),
+                                  (0, 0)))
+
+            return {"ml_embeds": np.stack([embed(cfg.negative_prompt),
+                                           embed(cfg.prompt)])}
         pos, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
         neg, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
         return {"ids": np.stack([neg, pos])}
@@ -167,6 +193,11 @@ class StableDiffusionPipeline:
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
         """-> {"context": (2, 77, C), ...}; traced inside the program."""
+        if self.multilingual_encoder is not None:
+            proj, _, _ = self.multilingual_encoder
+            ctx = proj.apply({"params": bundle["multilingual"]},
+                             token_inputs["ml_embeds"])
+            return {"context": ctx}
         out = self.text_encoder.apply(
             {"params": bundle["text_encoder"]}, token_inputs["ids"])
         return {"context": out[self.text_embedding_key]}
@@ -185,6 +216,8 @@ class StableDiffusionPipeline:
             b["text_encoder"] = self.text_encoder_params
         if self.vae_encoder is not None:
             b["vae_encoder"] = self.vae_encoder_params
+        if self.multilingual_encoder is not None:
+            b["multilingual"] = self.multilingual_encoder[1]
         if self.palettized_side:
             b["palettized"] = self.palettized_side
         return b
@@ -306,8 +339,9 @@ class StableDiffusionPipeline:
 
             return denoise
 
-        def make_step(denoiser, key):
-            """scan body; xs = (i, step_noise|None)."""
+        def make_step(denoiser, key, with_preview=False):
+            """scan body; xs = (i, step_noise|None).  ys = predicted-x0
+            preview when with_preview (callback path only)."""
 
             def step(carry, xs):
                 latents, state = carry
@@ -315,6 +349,9 @@ class StableDiffusionPipeline:
                 t = plan.timesteps[i]
                 latents_in = scheduler.scale_model_input(plan, state, latents, i)
                 noise_pred = denoiser(latents_in, t)
+                preview = (scheduler.pred_x0(plan, state, noise_pred, i,
+                                             latents)
+                           if with_preview else None)
                 if needs_noise:
                     if step_noise is None:
                         step_noise = jax.random.normal(
@@ -325,7 +362,7 @@ class StableDiffusionPipeline:
                 else:
                     state, latents = scheduler.step(plan, state, noise_pred, i,
                                                     latents)
-                return (latents, state), None
+                return (latents, state), preview
 
             return step
 
@@ -367,9 +404,11 @@ class StableDiffusionPipeline:
                 bundle = self._materialize_bundle(bundle)
                 lo, hi, denoiser = phase_denoisers(bundle, text,
                                                    ctrl_images)[phase_idx]
-                step = make_step(denoiser, key)
-                (latents, state), _ = step((latents, state), (i, step_noise))
-                return latents, state
+                step = make_step(denoiser, key,
+                                 with_preview=cfg.use_denoised_intermediates)
+                (latents, state), preview = step((latents, state),
+                                                 (i, step_noise))
+                return latents, state, preview
 
             return jax.jit(self._intercepted(one_step))
 
@@ -441,6 +480,7 @@ class StableDiffusionPipeline:
                cfg.timestep_spacing, round(strength, 4),
                cfg.guidance_scale, cfg.timestep_shift,
                cfg.attention_implementation,
+               cfg.use_denoised_intermediates,
                self._conditioning_cache_key(cfg))
         if key not in self._programs:
             self._programs[key] = self._build_program(
@@ -485,11 +525,13 @@ class StableDiffusionPipeline:
                     break
                 for i in range(lo, hi):
                     sn = step_noises[i] if step_noises is not None else None
-                    latents, state = prog["steps"][pi](
+                    latents, state, preview = prog["steps"][pi](
                         bundle, latents, state, text, jnp.asarray(i), sn,
                         rng_key, ctrl)
                     keep_going = progress_handler(PipelineProgress(
-                        self, i + 1, plan.num_steps, np.asarray(latents)))
+                        self, i + 1, plan.num_steps, np.asarray(latents),
+                        denoised=(np.asarray(preview) if preview is not None
+                                  else None)))
                     if keep_going is False:  # early stop (reference :338-349)
                         stopped = True
                         break

@@ -193,6 +193,18 @@ class Scheduler:
         reference Scheduler.swift:83-102)."""
         raise NotImplementedError
 
+    def pred_x0(self, plan: SchedulerPlan, state, model_output, i, sample):
+        """Predicted clean latent at step ``i`` (denoised previews —
+        reference useDenoisedIntermediates, Configuration.swift:44 /
+        StableDiffusionPipeline.swift:424).  Default: DDPM scaling at the
+        integer training timestep; sigma-space schedulers override."""
+        acp = jnp.asarray(self.config.alphas_cumprod(), jnp.float32)
+        t = jnp.clip(plan.timesteps[i].astype(jnp.int32), 0, acp.shape[0] - 1)
+        alpha_t = jnp.sqrt(acp[t])
+        sigma_t = jnp.sqrt(1.0 - acp[t])
+        return pred_original_sample(sample, model_output, alpha_t, sigma_t,
+                                    self.config.prediction_type)
+
     # -- helpers ---------------------------------------------------------------
 
     def _alpha_sigma(self) -> tuple[np.ndarray, np.ndarray]:

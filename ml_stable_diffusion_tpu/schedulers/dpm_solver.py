@@ -82,6 +82,10 @@ class DPMSolverMultistepScheduler(Scheduler):
     def initial_state(self, plan, shape, dtype=jnp.float32):
         return {"prev_x0": jnp.zeros(shape, dtype)}
 
+    def pred_x0(self, plan, state, model_output, i, sample):
+        return self._pred_x0(sample, model_output, plan.table("alpha")[i],
+                             plan.table("sigma")[i])
+
     def _pred_x0(self, sample, model_output, alpha, sigma):
         pt = self.config.prediction_type
         if pt == PredictionType.EPSILON:

@@ -73,3 +73,8 @@ class EulerScheduler(Scheduler):
 
     def add_noise(self, plan, original, noise):
         return original + noise * plan.table("sigmas")[0]
+
+    def pred_x0(self, plan, state, model_output, i, sample):
+        # sigma-space convention x = x0 + sigma*eps (k-diffusion)
+        return _euler_pred_x0(sample, model_output, plan.table("sigmas")[i],
+                              self.config.prediction_type)

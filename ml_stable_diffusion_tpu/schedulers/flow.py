@@ -49,6 +49,11 @@ class DiscreteFlowScheduler(Scheduler):
         sigma = plan.table("sigmas")[0]
         return (1.0 - sigma) * original + sigma * noise
 
+    def pred_x0(self, plan, state, model_output, i, sample):
+        # denoised = x - sigma*v (reference DiscreteFlowScheduler.swift:102-118
+        # with v = (x - denoised)/sigma)
+        return sample - plan.table("sigmas")[i] * model_output
+
     def __hash__(self):
         return hash((type(self), self.config, self.shift))
 

@@ -84,6 +84,14 @@ def tiny_vae():
     return (dec, dec_params), (enc, enc_params)
 
 
+def fake_multilingual_embedder(text, script="latin"):
+    """Deterministic stand-in for an external multilingual embedding model
+    (the reference's NLContextualEmbedding): text -> (S, 512)."""
+    seed = (sum(map(ord, text)) + sum(map(ord, script))) % (2 ** 31)
+    S = max(1, min(len(text), 32))
+    return np.random.RandomState(seed).randn(S, 512).astype(np.float32)
+
+
 def flax_params_to_diffusers_sd(params, kind):
     """Invert the port mapping: flax params -> synthetic diffusers-layout
     numpy state dict.  kind in {"unet", "vae_encoder", "vae_decoder"}."""

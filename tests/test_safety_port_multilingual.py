@@ -102,6 +102,125 @@ def test_multilingual_projection():
     report_correctness(np.asarray(out), ref, "multilingual_projection")
 
 
+def test_multilingual_generation_path():
+    """Generation through an external embedding + projection, replacing the
+    CLIP text encoder (reference --multilingual, Resources.swift:73-88)."""
+    from helpers import (CTX_DIM, fake_multilingual_embedder, tiny_unet,
+                         tiny_vae)
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(512, CTX_DIM).eval()
+    proj_params = port_multilingual_projection(lin.state_dict())
+    proj = MultilingualProjection(hidden_size=CTX_DIM)
+
+    dec, enc = tiny_vae()
+    pipe = StableDiffusionPipeline(
+        tokenizer=None, text_encoder=(None, None), unet=tiny_unet(),
+        vae_decoder=dec, vae_encoder=enc,
+        multilingual_encoder=(proj, proj_params, fake_multilingual_embedder))
+
+    def gen(prompt):
+        return pipe.generate_images(
+            PipelineConfiguration(prompt=prompt, step_count=2, seed=0,
+                                  scheduler="DDIM", disable_safety=True),
+            image_hw=(64, 64)).latents
+
+    a = gen("chat noir")
+    assert np.isfinite(a).all()
+    b = gen("schwarze Katze")
+    assert np.abs(a - b).max() > 1e-6  # prompt actually conditions
+
+
+def test_multilingual_cli(tmp_path):
+    """--multilingual end-to-end: convert the projection, generate with an
+    external embedder entrypoint (reference main.swift:96-105)."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_convert_load import (_write_text_encoder, _write_tokenizer,
+                                   _write_unet, _write_vae)
+
+    from ml_stable_diffusion_tpu.cli import convert as cli_convert
+    from ml_stable_diffusion_tpu.cli import generate as cli_generate
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "model_index.json").write_text(_json.dumps(
+        {"_class_name": "StableDiffusionPipeline"}))
+    _write_tokenizer(ckpt / "tokenizer")
+    _write_text_encoder(ckpt / "text_encoder")
+    _write_unet(ckpt / "unet")
+    _write_vae(ckpt / "vae")
+
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(512, 32)
+    proj_ckpt = tmp_path / "proj.pt"
+    torch.save(lin.state_dict(), proj_ckpt)
+    cli_convert.run(cli_convert.parser_spec().parse_args([
+        "-i", str(ckpt), "-o", str(ckpt),
+        "--convert-multilingual-projection", str(proj_ckpt)]))
+
+    out = tmp_path / "imgs"
+    paths = cli_generate.run(cli_generate.parser_spec().parse_args([
+        "eine schwarze Katze", "-i", str(ckpt), "-o", str(out),
+        "--step-count", "2", "--size", "64x64", "--scheduler", "DDIM",
+        "--disable-safety", "--multilingual",
+        "--multilingual-embedder", "helpers:fake_multilingual_embedder",
+        "--script", "latin"]))
+    assert paths[0].exists()
+
+
+def test_denoised_intermediates_previews():
+    """use_denoised_intermediates: progress callback sees predicted-x0
+    latents (Configuration.swift:44) distinct from the raw noisy ones."""
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+    import tempfile
+    from pathlib import Path as _P
+
+    with tempfile.TemporaryDirectory() as d:
+        tok = tiny_tokenizer(_P(d))
+        dec, enc = tiny_vae()
+        pipe = StableDiffusionPipeline(
+            tokenizer=tok, text_encoder=tiny_text_encoder(), unet=tiny_unet(),
+            vae_decoder=dec, vae_encoder=enc)
+
+        seen = []
+
+        def handler(progress):
+            seen.append(progress)
+            return True
+
+        pipe.generate_images(
+            PipelineConfiguration(prompt="cat", step_count=3, seed=0,
+                                  scheduler="DDIM", disable_safety=True,
+                                  use_denoised_intermediates=True),
+            progress_handler=handler, image_hw=(64, 64))
+        assert len(seen) == 3
+        for p in seen:
+            assert p.denoised is not None
+            assert p.denoised.shape == p.latents.shape
+            assert np.isfinite(p.denoised).all()
+        # at step 1 the raw latents are mostly noise; the x0 preview differs
+        assert np.abs(seen[0].denoised - seen[0].latents).max() > 1e-3
+
+        # default path: no previews
+        seen.clear()
+        pipe.generate_images(
+            PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                                  scheduler="DDIM", disable_safety=True),
+            progress_handler=handler, image_hw=(64, 64))
+        assert all(p.denoised is None for p in seen)
+
+
 def test_artifact_pipeline_loading(tmp_path):
     """convert CLI output -> runnable pipeline (the reference's compiled
     Resources/ flow, StableDiffusionPipeline+Resources.swift:59-165)."""
