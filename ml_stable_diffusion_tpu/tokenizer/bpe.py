@@ -38,6 +38,29 @@ def _clean(text: str) -> str:
     return text.strip().lower()
 
 
+@functools.lru_cache()
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2/CLIP byte<->unicode table: every UTF-8 byte maps to a printable
+    unicode char, so BPE runs over bytes and non-ASCII text tokenizes
+    exactly like the ecosystem vocab/merges the reference bundles
+    (torch2coreml.py:324-334; HF CLIPTokenizer bytes_to_unicode)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+@functools.lru_cache()
+def unicode_to_bytes() -> dict[str, int]:
+    return {c: b for b, c in bytes_to_unicode().items()}
+
+
 def _pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
     return set(zip(word[:-1], word[1:]))
 
@@ -137,10 +160,14 @@ class CLIPTokenizer:
     # -- public API -----------------------------------------------------------
 
     def encode(self, text: str) -> list[int]:
-        """Text -> token ids, without specials or padding."""
+        """Text -> token ids, without specials or padding.  Words are
+        byte-level encoded (bytes_to_unicode) before BPE — identity for
+        ASCII, ecosystem-exact for non-ASCII prompts."""
         ids: list[int] = []
         unk = self.eos_id
+        b2u = bytes_to_unicode()
         for tok in _PAT.findall(_clean(text)):
+            tok = "".join(b2u[b] for b in tok.encode("utf-8"))
             for piece in self._bpe(tok):
                 ids.append(self.vocab.get(piece, unk))
         return ids
@@ -160,10 +187,14 @@ class CLIPTokenizer:
         return np.asarray(ids, dtype=np.int32), true_len
 
     def decode(self, ids) -> str:
-        """Token ids -> text (reference BPETokenizer.swift:86-97)."""
+        """Token ids -> text (reference BPETokenizer.swift:86-97; byte-level
+        inverse per HF CLIPTokenizer.convert_tokens_to_string)."""
         specials = {self.bos_id, self.eos_id, self.pad_id}
         text = "".join(self.decoder.get(int(i), "") for i in ids if int(i) not in specials)
-        return text.replace("</w>", " ").strip()
+        u2b = unicode_to_bytes()
+        raw = bytearray(u2b.get(c, ord("?")) for c in text)
+        return (raw.decode("utf-8", errors="replace")
+                .replace("</w>", " ").strip())
 
     @functools.cached_property
     def vocab_size(self) -> int:

@@ -7,11 +7,16 @@
 // implementation (tokenizer/bpe.py) — greedy lowest-rank pair merging over
 // vocab.json + merges.txt with </w> end-of-word markers.
 //
+// Byte-level BPE: each word's UTF-8 bytes are mapped through the GPT-2/CLIP
+// bytes_to_unicode table before merging, matching HF CLIPTokenizer and the
+// Python implementation exactly for any input bytes.
+//
 // Unicode note: word segmentation treats any codepoint >= 0x80 as a letter
 // and lowercases ASCII only.  This matches the Python tokenizer for ASCII
 // prompts (the overwhelming majority); the Python path remains the reference
-// for full Unicode category handling.
+// for full Unicode category handling (e.g. non-ASCII lowercasing).
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -200,6 +205,41 @@ std::vector<std::string> segment(const std::string& input) {
   return words;
 }
 
+// GPT-2/CLIP bytes_to_unicode table: byte value -> UTF-8 encoding of its
+// mapped printable codepoint (tokenizer/bpe.py bytes_to_unicode)
+const std::array<std::string, 256>& byte_units() {
+  static const std::array<std::string, 256> kTable = [] {
+    std::array<std::string, 256> table;
+    auto enc = [](unsigned cp) {
+      std::string s;
+      if (cp < 0x80) {
+        s += static_cast<char>(cp);
+      } else {  // all mapped codepoints are < 0x800
+        s += static_cast<char>(0xC0 | (cp >> 6));
+        s += static_cast<char>(0x80 | (cp & 0x3F));
+      }
+      return s;
+    };
+    std::array<bool, 256> direct{};
+    for (int b = '!'; b <= '~'; ++b) direct[b] = true;
+    for (int b = 0xA1; b <= 0xAC; ++b) direct[b] = true;
+    for (int b = 0xAE; b <= 0xFF; ++b) direct[b] = true;
+    int n = 0;
+    for (int b = 0; b < 256; ++b)
+      table[b] = direct[b] ? enc(b) : enc(256 + n++);
+    return table;
+  }();
+  return kTable;
+}
+
+std::string to_byte_level(const std::string& word) {
+  const auto& units = byte_units();
+  std::string out;
+  out.reserve(word.size() * 2);
+  for (unsigned char c : word) out += units[c];
+  return out;
+}
+
 // split a UTF-8 string into codepoint-level pieces
 std::vector<std::string> utf8_chars(const std::string& s) {
   std::vector<std::string> out;
@@ -318,7 +358,7 @@ int32_t sdtpu_bpe_encode(void* handle, const char* text, int32_t* out,
   auto* tok = static_cast<Tokenizer*>(handle);
   int32_t count = 0;
   for (const auto& word : segment(text)) {
-    for (const auto& piece : bpe(*tok, word)) {
+    for (const auto& piece : bpe(*tok, to_byte_level(word))) {
       if (count >= max_out) return count;
       auto it = tok->vocab.find(piece);
       out[count++] = it == tok->vocab.end() ? tok->eos_id : it->second;

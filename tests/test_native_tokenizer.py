@@ -65,6 +65,28 @@ def test_native_matches_python(vocab_dir, native):
         assert na == nb, prompt
 
 
+def test_native_byte_level_non_ascii_matches_python(tmp_path):
+    """Byte-level BPE parity on non-ASCII prompts (lowercase inputs — the
+    native segmenter lowercases ASCII only, a documented divergence)."""
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from test_tokenizer import _byte_level_vocab_files
+
+    d = _byte_level_vocab_files(tmp_path)
+    py = CLIPTokenizer.from_pretrained_dir(d)
+    nat = NativeCLIPTokenizer(d / "vocab.json", d / "merges.txt")
+    for prompt in ["héllo wörld", "une chatte élégante", "日本語 テキスト",
+                   "emoji 🚀 rocket", "ééé cat", "ærøskøbing"]:
+        a, na = py.tokenize(prompt, max_length=77)
+        b, nb = nat.tokenize(prompt, max_length=77)
+        np.testing.assert_array_equal(a, b, err_msg=repr(prompt))
+        assert na == nb, prompt
+
+
 def test_native_truncation(native):
     ids, n = native.tokenize("hello " * 100, max_length=10)
     assert ids.shape == (10,)
