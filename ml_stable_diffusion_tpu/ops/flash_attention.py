@@ -84,9 +84,15 @@ def _pick_block(s: int, preferred: int) -> int:
     return max(b, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_len"))
-def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
-    """q (BH, Sq, D), k/v (BH, Sk_padded, D) -> (BH, Sq, D)."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_len",
+                                             "interpret"))
+def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
+                interpret: bool = False):
+    """q (BH, Sq, D), k/v (BH, Sk_padded, D) -> (BH, Sq, D).
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (CPU-testable: the masking/online-softmax logic is executed line by
+    line without a TPU)."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
     scale = D ** -0.5
@@ -115,6 +121,7 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(q, k, v)
 
 

@@ -61,8 +61,10 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, groups, eps,
     o_ref[0] = y.reshape(shape[1], shape[2], C).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu"))
-def _gn_silu_pallas(x, gamma, beta, groups: int, eps: float, apply_silu: bool):
+@functools.partial(jax.jit, static_argnames=("groups", "eps", "apply_silu",
+                                             "interpret"))
+def _gn_silu_pallas(x, gamma, beta, groups: int, eps: float, apply_silu: bool,
+                    interpret: bool = False):
     B, H, W, C = x.shape
     return pl.pallas_call(
         functools.partial(_gn_silu_kernel, groups=groups, eps=eps,
@@ -82,6 +84,7 @@ def _gn_silu_pallas(x, gamma, beta, groups: int, eps: float, apply_silu: bool):
             # 16MB scoped budget; v5e VMEM is far larger
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(x, gamma.reshape(1, C), beta.reshape(1, C))
 
 
