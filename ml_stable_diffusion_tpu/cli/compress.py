@@ -34,6 +34,9 @@ def parser_spec():
     ana.add_argument("--nbits", type=int, nargs="*", default=[1, 2, 4, 6, 8])
     ana.add_argument("--cumulative", action="store_true")
     ana.add_argument("--size", default="512x512")
+    ana.add_argument("--probe-prompts", type=int, default=8,
+                     help="number of fixed probe prompts (reference uses 8, "
+                          "pre_analysis.py:34-45)")
 
     build = sub.add_parser("mbp-build-recipe")
     build.add_argument("-i", "--analysis-json", required=True)
@@ -96,22 +99,62 @@ def run(args):
                     args.output_dir)
 
 
+#: fixed probe prompts spanning subjects/styles — the reference measures
+#: sensitivity end-to-end over 8 fixed prompts with synced RNG
+#: (pre_analysis.py:34-45, 244-258); a single random context mis-ranks
+#: layers whose sensitivity is text-conditioned.
+PROBE_PROMPTS = (
+    "a photograph of an astronaut riding a horse",
+    "a watercolor painting of a lighthouse at dusk",
+    "macro photo of a honeybee on a sunflower, sharp focus",
+    "isometric pixel art of a cozy coffee shop interior",
+    "portrait of an elderly fisherman, dramatic lighting",
+    "a red vintage car parked on a rainy neon street at night",
+    "an intricate pencil sketch of a gothic cathedral",
+    "aerial view of terraced rice fields at sunrise",
+)
+
+
 def _one_step_runner(model, args):
-    """1-step denoise latent output, the reference's signal-integrity probe
-    (pre_analysis.py run_pipe :248: single step, fixed latents)."""
+    """1-step denoise output over the fixed probe prompts with real text
+    conditioning and synced RNG — the reference's signal-integrity probe
+    (pre_analysis.py run_pipe :248: one step, fixed latents, 8 prompts)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    from ..convert import load
+    from ..tokenizer import CLIPTokenizer
 
     h, w = (int(x) // 8 for x in args.size.split("x"))
     cfg = model.config
-    latents = jax.random.normal(jax.random.key(0), (1, h, w, cfg.in_channels))
-    ctx = jax.random.normal(jax.random.key(1),
-                            (1, 77, cfg.cross_attention_dim))
+    root = Path(args.checkpoint)
+    prompts = PROBE_PROMPTS[: max(1, args.probe_prompts)]
+    P = len(prompts)
+
+    te_dir, tok_dir = root / "text_encoder", root / "tokenizer"
+    if te_dir.exists() and tok_dir.exists():
+        te, te_params = load.load_text_encoder(te_dir)
+        tok = CLIPTokenizer.from_pretrained_dir(tok_dir)
+        ids = np.stack([tok.tokenize(p, max_length=77)[0] for p in prompts])
+        ctx = jax.jit(lambda p, i: te.apply({"params": p}, i)
+                      ["last_hidden_state"])(te_params, jnp.asarray(ids))
+        if ctx.shape[-1] != cfg.cross_attention_dim:
+            raise ValueError(
+                f"text encoder width {ctx.shape[-1]} != UNet "
+                f"cross_attention_dim {cfg.cross_attention_dim}")
+    else:  # no text encoder in the checkpoint: fall back to fixed contexts
+        logger.warning("no text_encoder/tokenizer; probing with fixed "
+                       "random contexts (weaker than the reference probe)")
+        ctx = jax.random.normal(jax.random.key(1),
+                                (P, 77, cfg.cross_attention_dim))
+    latents = jax.random.normal(jax.random.key(0),
+                                (P, h, w, cfg.in_channels))
+    t = jnp.full((P,), 500.0)
 
     @jax.jit
     def forward(p):
-        return model.apply({"params": p}, latents,
-                           jnp.asarray([500.0]), ctx)
+        return model.apply({"params": p}, latents, t, ctx)
 
     return lambda p: forward(p)
 

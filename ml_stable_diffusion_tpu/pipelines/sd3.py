@@ -93,13 +93,21 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
         # zero-pad the CLIP context up to the MMDiT context width (:224-240)
         pad = self.context_dim - clip_ctx.shape[-1]
         clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        L = self.t5_sequence_length
         if self.t5_encoder is not None:
             t5 = self.t5_encoder.apply({"params": bundle["t5"]},
                                        token_inputs["ids_t5"],
                                        token_inputs["mask_t5"])
-            ctx = jnp.concatenate([clip_ctx, t5["encoder_hidden_states"]], axis=1)
+            # truncatedT5Embeds (:402-418): the T5 block is always exactly L
+            # positions, truncating longer encoder outputs
+            t5_states = t5["encoder_hidden_states"][:, :L]
         else:
-            ctx = clip_ctx
+            # reference substitutes a ZERO T5 block rather than shrinking the
+            # context: [1, 4096, 1, 77] of zeros (:219), so the MMDiT always
+            # sees 77+L positions
+            t5_states = jnp.zeros(
+                (clip_ctx.shape[0], L, self.context_dim), clip_ctx.dtype)
+        ctx = jnp.concatenate([clip_ctx, t5_states], axis=1)
         pooled = jnp.concatenate([out1["pooled_output"],
                                   out2["pooled_output"]], axis=-1)
         return {"context": ctx, "pooled": pooled}

@@ -84,6 +84,23 @@ def tiny_vae():
     return (dec, dec_params), (enc, enc_params)
 
 
+def structure_torch_module(module):
+    """Overwrite every parameter with deterministic STRUCTURED values:
+    a distinct per-tensor mean plus a within-tensor ramp.  Random N(0, 0.02)
+    weights can hide porting bugs (a swapped scale/shift pair or a wrong
+    transpose stays within tolerance); distinct means + a position-dependent
+    ramp make any cross-wiring blow past the 35 dB gate (VERDICT r1 weak #6).
+    """
+    import torch
+
+    with torch.no_grad():
+        for i, (_name, p) in enumerate(sorted(module.named_parameters())):
+            base = ((i * 37) % 23 - 11) / 40.0  # distinct mean per tensor
+            ramp = torch.linspace(-1.0, 1.0, p.numel()).reshape(p.shape)
+            p.copy_(base + 0.05 * ramp)
+    return module
+
+
 def fake_multilingual_embedder(text, script="latin"):
     """Deterministic stand-in for an external multilingual embedding model
     (the reference's NLContextualEmbedding): text -> (S, 512)."""

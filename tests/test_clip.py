@@ -72,6 +72,26 @@ def test_clip_parity(act):
                        ref.hidden_states[-2].numpy(), "clip.penultimate")
 
 
+def test_clip_parity_structured_weights():
+    """Structured (distinct-mean + ramp) weights: catches cross-wired or
+    transposed ports that random N(0,0.02) weights can mask."""
+    from helpers import structure_torch_module
+
+    tm = structure_torch_module(_torch_model("quick_gelu"))
+    cfg = CLIPTextConfig(**TINY, hidden_act="quick_gelu")
+    params = port_clip_text_encoder(tm.state_dict(), cfg)
+    model = CLIPTextEncoder(cfg)
+
+    ids = _input_ids()
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids), output_hidden_states=True)
+    out = model.apply({"params": params}, jnp.asarray(ids))
+    report_correctness(out["last_hidden_state"], ref.last_hidden_state.numpy(),
+                       "clip.structured.last_hidden_state")
+    report_correctness(out["penultimate_hidden_state"],
+                       ref.hidden_states[-2].numpy(), "clip.structured.penult")
+
+
 def test_clip_projection_parity():
     tm = _torch_model(with_projection=True, projection_dim=48)
     cfg = CLIPTextConfig(**TINY, use_text_projection=True, projection_dim=48)

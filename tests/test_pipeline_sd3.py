@@ -127,9 +127,31 @@ def test_sd3_without_t5(tmp_path_factory):
         text_encoder2=tiny_text_encoder(use_projection=True),
         mmdit=_tiny_mmdit(),
         vae_decoder=dec,
+        t5_sequence_length=16,
     )
     res = pipe.generate_images(_cfg(seed=4), image_hw=(64, 64))
     assert np.isfinite(res.latents).all()
+
+    # reference substitutes a ZERO T5 block, keeping the full 77+L context
+    # (StableDiffusion3Pipeline.swift:219, truncatedT5Embeds :402)
+    tokens = {k: jnp.asarray(v) for k, v in pipe._tokenize(_cfg()).items()}
+    text = pipe._encode_text(_cfg(), tokens, pipe._params_bundle())
+    assert text["context"].shape == (2, 77 + 16, MM_CTX)
+    np.testing.assert_allclose(np.asarray(text["context"][:, 77:]), 0.0)
+
+
+def test_sd3_t5_embeds_truncated(sd3_pipe):
+    """T5 encoder outputs longer than t5_sequence_length are truncated
+    (reference truncatedT5Embeds, :402-418)."""
+    cfg = _cfg()
+    tokens = pipe_tokens = sd3_pipe._tokenize(cfg)
+    # simulate a T5 tokenizer that emitted more positions than configured
+    long_ids = np.pad(pipe_tokens["ids_t5"], ((0, 0), (0, 8)))
+    long_mask = np.pad(pipe_tokens["mask_t5"], ((0, 0), (0, 8)))
+    tokens = dict(tokens, ids_t5=long_ids, mask_t5=long_mask)
+    tokens = {k: jnp.asarray(v) for k, v in tokens.items()}
+    text = sd3_pipe._encode_text(cfg, tokens, sd3_pipe._params_bundle())
+    assert text["context"].shape == (2, 77 + 16, MM_CTX)
 
 
 def test_sd3_img2img(sd3_pipe):

