@@ -9,7 +9,10 @@ Random bf16 weights (identical FLOPs/layout to ported real weights — speed
 is weight-value independent).  The denoise loop is the real pipeline path:
 one jitted lax.scan containing UNet + CFG guidance + DPM++ scheduler math.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+``extra`` carries driver-verified secondary numbers (SDXL 1024 e2e latency,
+6-bit palettized compressed serving) — each fail-safe so the headline
+metric always lands.  Set SDTPU_BENCH_EXTRAS=0 to skip them.
 """
 
 import json
@@ -29,7 +32,7 @@ STEPS = 20
 GUIDANCE = 7.5
 
 
-def main():
+def _sd21_parts():
     cfg = UNetConfig.sd21()
     import dataclasses
 
@@ -46,9 +49,8 @@ def main():
 
     shapes = jax.eval_shape(lambda k: model.init(k, sample, t0, ctx),
                             jax.random.key(0))["params"]
-    key = jax.random.key(0)
     leaves, treedef = jax.tree.flatten(shapes)
-    keys = jax.random.split(key, len(leaves))
+    keys = jax.random.split(jax.random.key(0), len(leaves))
     params = jax.tree.unflatten(treedef, [
         (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02)
         for k, s in zip(keys, leaves)])
@@ -57,24 +59,27 @@ def main():
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)
 
-    @jax.jit
-    def denoise(params, latents, context):
-        state = sched.initial_state(plan, latents.shape)
+    def make_scan(apply_params_fn):
+        def denoise_body(params_in, latents, context):
+            params = apply_params_fn(params_in)
+            state = sched.initial_state(plan, latents.shape)
 
-        def step(carry, i):
-            lat, st = carry
-            lat_in = sched.scale_model_input(plan, st, lat, i)
-            lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
-            eps = model.apply({"params": params}, lat2, plan.timesteps[i],
-                              context)
-            neg, pos = jnp.split(eps, 2, axis=0)
-            guided = neg + GUIDANCE * (pos - neg)
-            st, lat = sched.step(plan, st, guided, i, lat)
-            return (lat, st), None
+            def step(carry, i):
+                lat, st = carry
+                lat_in = sched.scale_model_input(plan, st, lat, i)
+                lat2 = jnp.concatenate([lat_in, lat_in], axis=0)
+                eps = model.apply({"params": params}, lat2, plan.timesteps[i],
+                                  context)
+                neg, pos = jnp.split(eps, 2, axis=0)
+                guided = neg + GUIDANCE * (pos - neg)
+                st, lat = sched.step(plan, st, guided, i, lat)
+                return (lat, st), None
 
-        (lat, _), _ = jax.lax.scan(step, (latents, state),
-                                   jnp.arange(plan.num_steps))
-        return lat
+            (lat, _), _ = jax.lax.scan(step, (latents, state),
+                                       jnp.arange(plan.num_steps))
+            return lat
+
+        return denoise_body
 
     context = jax.random.normal(jax.random.key(2),
                                 (2, 77, cfg.cross_attention_dim), jnp.float32)
@@ -85,24 +90,81 @@ def main():
         return jax.random.normal(jax.random.key(100 + i), (1, h, w, 4),
                                  jnp.float32)
 
-    # warmup / compile
-    denoise(params, fresh_latents(0), context).block_until_ready()
+    return cfg, params, make_scan, context, fresh_latents
 
+
+def _time_best(fn, fresh_latents, repeats=3):
+    fn(fresh_latents(0)).block_until_ready()  # warmup / compile
     times = []
-    for i in range(3):
+    for i in range(repeats):
         lat = fresh_latents(i + 1)
         lat.block_until_ready()
         t = time.perf_counter()
-        denoise(params, lat, context).block_until_ready()
+        fn(lat).block_until_ready()
         times.append(time.perf_counter() - t)
-    best = min(times)
-    iters_per_s = STEPS / best
+    return min(times)
+
+
+def bench_sd21(parts) -> float:
+    _, params, make_scan, context, fresh = parts
+    denoise = jax.jit(make_scan(lambda p: p))
+    best = _time_best(lambda lat: denoise(params, lat, context), fresh)
+    return STEPS / best
+
+
+def bench_palettized6(parts) -> dict:
+    """6-bit palettized compressed serving: HBM holds packed indices + LUTs,
+    the program dequantizes at entry (the reference's ANE decompress-on-
+    execute analog, README.md:165)."""
+    from ml_stable_diffusion_tpu.compress.palettize import (
+        materialize_palettized,
+        palettize_tree,
+        split_palettized_tree,
+    )
+
+    _, params, make_scan, context, fresh = parts
+    tree, stats = palettize_tree(
+        jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params), 6)
+    dense, side, meta = split_palettized_tree(tree)
+    dense = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16)
+                         if hasattr(x, "astype") else x, dense)
+
+    denoise = jax.jit(make_scan(
+        lambda ps: materialize_palettized(ps[0], ps[1], meta, jnp.bfloat16)))
+    best = _time_best(lambda lat: denoise((dense, side), lat, context), fresh)
+    return {
+        "palettized6_iter_s": round(STEPS / best, 3),
+        "palettized6_payload_shrink": round(
+            stats["orig_bytes"] / max(stats["new_bytes"], 1), 2),
+    }
+
+
+def main():
+    parts = _sd21_parts()
+    iters_per_s = bench_sd21(parts)
+
+    extra = {}
+    if os.environ.get("SDTPU_BENCH_EXTRAS", "1") != "0":
+        try:
+            extra.update(bench_palettized6(parts))
+        except Exception as e:  # never lose the headline metric
+            extra["palettized6_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            import bench_sdxl
+
+            best = bench_sdxl.run()
+            extra["sdxl_1024_e2e_s"] = round(best, 3)
+            extra["sdxl_vs_baseline"] = round(bench_sdxl.BASELINE_E2E_S / best,
+                                              2)
+        except Exception as e:
+            extra["sdxl_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "SD-2.1-base 512x512 diffusion speed (CFG batch 2, 20 steps, DPM++ 2M)",
         "value": round(iters_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+        "extra": extra,
     }))
 
 

@@ -30,7 +30,8 @@ def _random_params(model, *args, dtype=jnp.bfloat16):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
 
 
-def main():
+def run() -> float:
+    """-> best e2e seconds (importable from bench.py for the driver run)."""
     h = w = 128  # 1024 / 8
 
     ucfg = UNetConfig.sdxl()
@@ -96,7 +97,11 @@ def main():
         t0 = time.perf_counter()
         e2e(uparams, te1_params, te2_params, vparams, ids, lat).block_until_ready()
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    return min(times)
+
+
+def main():
+    best = run()
     print(json.dumps({
         "metric": "SDXL-base 1024x1024 end-to-end latency (text encode + 20 steps CFG + VAE decode)",
         "value": round(best, 3),

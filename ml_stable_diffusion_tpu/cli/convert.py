@@ -124,6 +124,24 @@ def run(args):
         check(name, params)
         logger.info("%s converted", name)
 
+    def parity(kind, module_dir, model, params):
+        """Reference-style conversion gate (torch2coreml.py:80-97):
+        torch-executed >=35 dB PSNR where a transformers reference exists;
+        structural element-count match otherwise."""
+        if not args.check_output_correctness:
+            return
+        from ..convert import verify
+
+        if kind == "clip":
+            verify.torch_parity_text_encoder(module_dir, model, params)
+        elif kind == "t5":
+            verify.torch_parity_t5(module_dir, model, params)
+        elif kind == "safety":
+            verify.torch_parity_safety(module_dir, model, params)
+        else:  # unet / mmdit / vae / controlnet: no torch impl w/o diffusers
+            sd = load.load_safetensors_state_dict(module_dir)
+            verify.element_count_matches(sd, params, str(module_dir))
+
     def quantized(params):
         """Palettize eligible kernels -> tree with PalettizedTensor leaves
         (stored compressed; honest on-disk size is logged after save)."""
@@ -143,6 +161,7 @@ def run(args):
         if (src / "text_encoder").exists():
             model, params = load.load_text_encoder(
                 src / "text_encoder", with_projection=True if is_sd3 else None)
+            parity("clip", src / "text_encoder", model, params)
             save("TextEncoder", params, model.config)
         else:
             logger.info("no text_encoder/ in checkpoint (refiner-only XL)")
@@ -150,28 +169,37 @@ def run(args):
             and (src / "text_encoder_2").exists() and not exists("TextEncoder2"):
         model, params = load.load_text_encoder(src / "text_encoder_2",
                                                with_projection=True)
+        parity("clip", src / "text_encoder_2", model, params)
         save("TextEncoder2", params, model.config)
     if ((all_ and is_sd3) or args.convert_t5) \
             and (src / "text_encoder_3").exists() and not exists("TextEncoderT5"):
         model, params = load.load_t5(src / "text_encoder_3")
+        if args.check_output_correctness:
+            # gate the PORT in fp32 (the bf16 serving cast is a deliberate
+            # precision choice, not a porting error)
+            parity("t5", src / "text_encoder_3",
+                   *load.load_t5(src / "text_encoder_3", dtype=jnp.float32))
         save("TextEncoderT5", params, model.config)
 
     # -- denoiser ---------------------------------------------------------------
     if is_sd3:
         if (all_ or args.convert_mmdit) and not exists("MMDiT"):
             model, params = load.load_mmdit(src / "transformer")
+            parity("count", src / "transformer", model, params)
             if args.quantize_nbits:
                 params = quantized(params)
             save("MMDiT", params, model.config)
     else:
         if (all_ or args.convert_unet) and not exists("Unet"):
             model, params = load.load_unet(src / "unet", dtype=jnp.bfloat16)
+            parity("count", src / "unet", model, params)
             if args.quantize_nbits:
                 params = quantized(params)
             save("Unet", params, model.config)
     if args.refiner_version and not exists("RefinerUnet"):
         model, params = load.load_unet(Path(args.refiner_version) / "unet",
                                        dtype=jnp.bfloat16)
+        parity("count", Path(args.refiner_version) / "unet", model, params)
         if args.quantize_nbits:
             params = quantized(params)
         save("RefinerUnet", params, model.config)
@@ -184,12 +212,26 @@ def run(args):
     if (all_ or args.convert_vae_encoder) and not exists("VAEEncoder"):
         _, (enc, enc_params) = load.load_vae(vae_dir)
         save("VAEEncoder", enc_params, enc.config)
+    if args.check_output_correctness and (all_ or args.convert_vae_decoder
+                                          or args.convert_vae_encoder):
+        from ..convert import verify
+
+        (dec, dec_params), (enc, enc_params) = load.load_vae(vae_dir)
+        sd = load.load_safetensors_state_dict(vae_dir)
+        dec_n = verify._tree_element_count(dec_params)
+        enc_n = verify._tree_element_count(enc_params)
+        src_n = sum(int(np.prod(tuple(v.shape))) for v in sd.values())
+        if dec_n + enc_n != src_n:
+            raise AssertionError(
+                f"VAE port element count {dec_n}+{enc_n} != source {src_n}")
+        logger.info("VAE: element count matches source (%d)", src_n)
 
     # -- safety checker -------------------------------------------------------------
     if (all_ or args.convert_safety_checker) \
             and (src / "safety_checker" / "config.json").exists() \
             and not exists("SafetyChecker"):
         model, params = load.load_safety_checker(src / "safety_checker")
+        parity("safety", src / "safety_checker", model, params)
         save("SafetyChecker", params, model.config)
 
     # -- controlnets ------------------------------------------------------------------
@@ -199,6 +241,7 @@ def run(args):
         if exists(name):
             continue
         model, params = load.load_controlnet(cn_dir)
+        parity("count", cn_dir, model, params)
         save(name, params, model.config)
 
     if args.convert_multilingual_projection:

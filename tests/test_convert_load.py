@@ -251,6 +251,38 @@ def test_unet_load_matches_original(sd_checkpoint, tmp_path):
                                       err_msg=jax.tree_util.keystr(pa))
 
 
+def test_convert_time_torch_parity_gate(sd_checkpoint):
+    """The converter's --check-output-correctness asserts >=35 dB vs the
+    torch model (reference torch2coreml.py:80-97) — and actually trips on a
+    corrupted port."""
+    from ml_stable_diffusion_tpu.convert import load as _load
+    from ml_stable_diffusion_tpu.convert import verify
+
+    model, params = _load.load_text_encoder(sd_checkpoint / "text_encoder")
+    psnr = verify.torch_parity_text_encoder(sd_checkpoint / "text_encoder",
+                                            model, params)
+    assert psnr >= 35.0
+
+    import copy
+
+    bad = copy.deepcopy(params)
+    # swap two layers' attention weights: a classic cross-wiring port bug
+    l0 = bad["layers_0"]["q_proj"]["kernel"]
+    bad["layers_0"]["q_proj"]["kernel"] = bad["layers_1"]["q_proj"]["kernel"]
+    bad["layers_1"]["q_proj"]["kernel"] = l0
+    with pytest.raises(AssertionError):
+        verify.torch_parity_text_encoder(sd_checkpoint / "text_encoder",
+                                         model, bad)
+
+    # structural gate: dropped tensors are caught
+    sd = _load.load_safetensors_state_dict(sd_checkpoint / "unet")
+    _, uparams = _load.load_unet(sd_checkpoint / "unet", dtype=jnp.float32)
+    verify.element_count_matches(sd, uparams, "unet")
+    del uparams["conv_in"]["bias"]
+    with pytest.raises(AssertionError):
+        verify.element_count_matches(sd, uparams, "unet")
+
+
 def test_artifact_store_roundtrip(tmp_path):
     model = UNet2DConditionModel(UNET_CFG)
     params = jax.jit(model.init)(
