@@ -150,6 +150,13 @@ def main():
         except Exception as e:  # never lose the headline metric
             extra["palettized6_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
+            import bench_w8a8
+
+            extra["w8a8_dense_conv_iter_s"] = round(
+                bench_w8a8.run(include_convs=True), 3)
+        except Exception as e:
+            extra["w8a8_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
             import bench_sdxl
 
             best = bench_sdxl.run()

@@ -35,7 +35,8 @@ class _ConstScales(dict):
         return 8.0
 
 
-def main():
+def run(include_convs: bool = False) -> float:
+    """-> iter/s with int8 serving (dense only, or dense+conv weights)."""
     cfg = UNetConfig.sd21()
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
     h = w = 64
@@ -50,8 +51,9 @@ def main():
         jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
         for k, s in zip(keys, leaves)])
 
-    int8_w = quantize_tree_dense_int8(params)
-    print(f"# int8 dense layers: {len(int8_w)}")
+    int8_w = quantize_tree_dense_int8(params, include_convs=include_convs)
+    n_conv = sum(1 for wq, _ in int8_w.values() if wq.ndim == 4)
+    print(f"# int8 layers: {len(int8_w)} ({n_conv} convs)")
 
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)
@@ -94,9 +96,17 @@ def main():
         t = time.perf_counter()
         denoise(params, int8_w, lat, context).block_until_ready()
         times.append(time.perf_counter() - t)
-    iters = STEPS / min(times)
+    return STEPS / min(times)
+
+
+def main():
+    import os
+
+    include_convs = os.environ.get("SDTPU_W8A8_CONVS", "1") != "0"
+    iters = run(include_convs=include_convs)
+    kind = "dense+conv" if include_convs else "dense"
     print(json.dumps({
-        "metric": "SD-2.1-base 512x512 diffusion speed, W8A8 dense serving",
+        "metric": f"SD-2.1-base 512x512 diffusion speed, W8A8 {kind} serving",
         "value": round(iters, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters / 3.07, 2),

@@ -145,43 +145,66 @@ def quantize_dense_weights_int8(variables_fn: Callable, paths: list[str]):
     return out
 
 
+def _conv_geometry(module: nn.Conv):
+    """Normalize an nn.Conv's strides/padding for lax.conv_general_dilated."""
+    ndim = len(module.kernel_size)
+    s = module.strides or 1
+    strides = (s,) * ndim if isinstance(s, int) else tuple(s)
+    p = module.padding
+    if isinstance(p, int):
+        p = [(p, p)] * ndim
+    elif isinstance(p, (list, tuple)) and p and isinstance(p[0], int):
+        p = [(int(x), int(x)) for x in p]
+    return strides, p, module.feature_group_count
+
+
 def w8a8_serving_interceptor(act_scales: dict[str, float],
                              int8_weights: dict,
                              skip_patterns: Sequence[str] = DEFAULT_SKIP_PATTERNS):
-    """Serving-path interceptor: selected Dense layers execute as real int8
-    MXU matmuls (ops/int8.int8_dense) — the deployment counterpart of the
-    fake-quant simulation used for sensitivity analysis."""
-    from ..ops.int8 import int8_dense
+    """Serving-path interceptor: selected Dense AND Conv layers execute as
+    real int8 MXU ops (ops/int8) — the deployment counterpart of the
+    fake-quant simulation used for sensitivity analysis.  Conv coverage
+    halves the conv weight HBM traffic (the bandwidth-bound UNet's largest
+    remaining term after the dense W8A8 pass)."""
+    from ..ops.int8 import int8_conv, int8_dense
 
     def interceptor(next_fun, args, kwargs, context):
-        if (isinstance(context.module, nn.Dense)
+        m = context.module
+        if (isinstance(m, (nn.Dense, nn.Conv))
                 and context.method_name == "__call__" and args):
-            key = _path_str(context.module)
+            key = _path_str(m)
             if (key in int8_weights and key in act_scales
                     and not any(p in key for p in skip_patterns)):
                 wq, wscale = int8_weights[key]
-                bias = (context.module.variables["params"].get("bias")
-                        if context.module.use_bias else None)
-                return int8_dense(args[0], wq, wscale, act_scales[key],
-                                  bias=bias)
+                bias = (m.variables["params"].get("bias")
+                        if m.use_bias else None)
+                if isinstance(m, nn.Dense):
+                    return int8_dense(args[0], wq, wscale, act_scales[key],
+                                      bias=bias)
+                strides, padding, fgc = _conv_geometry(m)
+                return int8_conv(args[0], wq, wscale, act_scales[key],
+                                 bias=bias, strides=strides, padding=padding,
+                                 feature_group_count=fgc)
         return next_fun(*args, **kwargs)
 
     return interceptor
 
 
 def quantize_tree_dense_int8(params, min_size: int = 1 << 14,
-                             skip_patterns: Sequence[str] = ()) -> dict:
-    """Walk a param pytree and pre-quantize every 2-D Dense kernel above
-    ``min_size`` to int8 -> {module_path: (w_q, w_scale)} for
-    ``w8a8_serving_interceptor``."""
+                             skip_patterns: Sequence[str] = (),
+                             include_convs: bool = False) -> dict:
+    """Walk a param pytree and pre-quantize every Dense (2-D) — and with
+    ``include_convs`` every Conv (4-D) — kernel above ``min_size`` to int8
+    -> {module_path: (w_q, w_scale)} for ``w8a8_serving_interceptor``."""
     import jax
 
     from ..ops.int8 import quantize_weight_int8
 
+    ndims = (2, 4) if include_convs else (2,)
     out = {}
     for p, leaf in jax.tree_util.tree_leaves_with_path(params):
         names = tuple(x.key for x in p if hasattr(x, "key"))
-        if names[-1] != "kernel" or leaf.ndim != 2:
+        if names[-1] != "kernel" or leaf.ndim not in ndims:
             continue
         if leaf.size < min_size:
             continue

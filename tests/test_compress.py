@@ -194,6 +194,65 @@ def test_palettized_dense_op():
         pt.indices)
 
 
+def test_int8_conv_op():
+    from ml_stable_diffusion_tpu.ops.int8 import int8_conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 16, 32) * 0.1, jnp.float32)
+    wq, ws = quantize_weight_int8(w)
+    bias = jnp.asarray(rng.randn(32), jnp.float32)
+    y = int8_conv(x, wq, ws, x_amax=float(jnp.abs(x).max()), bias=bias,
+                  strides=(1, 1), padding=[(1, 1), (1, 1)])
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    assert compute_psnr(np.asarray(y), np.asarray(ref)) > 25
+    # strided (downsampler geometry)
+    y2 = int8_conv(x, wq, ws, x_amax=float(jnp.abs(x).max()),
+                   strides=(2, 2), padding=[(1, 1), (1, 1)])
+    assert y2.shape == (2, 4, 4, 32)
+
+
+def test_w8a8_conv_serving_on_unet():
+    """Full-UNet forward with Dense AND Conv int8 serving stays within
+    tolerance of the fp32 forward (the conv-weight-traffic lever,
+    VERDICT r1 next #10)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import tiny_unet
+
+    from ml_stable_diffusion_tpu.compress.w8a8 import (
+        quantize_tree_dense_int8,
+        w8a8_serving_interceptor,
+    )
+
+    model, params = tiny_unet()
+    int8_w = quantize_tree_dense_int8(params, min_size=1, include_convs=True,
+                                      skip_patterns=())
+    assert any(np.ndim(wq) == 4 for wq, _ in int8_w.values())  # convs present
+
+    class _Scales(dict):
+        def __contains__(self, k):
+            return True
+
+        def __getitem__(self, k):
+            return 8.0
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+    t = jnp.zeros((1,))
+    ctx = jnp.asarray(np.random.RandomState(1).randn(1, 77, 48) * 0.2,
+                      jnp.float32)
+    ref = model.apply({"params": params}, x, t, ctx)
+    with nn.intercept_methods(
+            w8a8_serving_interceptor(_Scales(), int8_w, skip_patterns=())):
+        served = model.apply({"params": params}, x, t, ctx)
+    assert np.isfinite(np.asarray(served)).all()
+    assert compute_psnr(np.asarray(served), np.asarray(ref)) > 20
+
+
 def test_w8a8_serving_interceptor_matches_simulation(toy):
     from ml_stable_diffusion_tpu.compress.w8a8 import (
         quantizable_dense_paths,
