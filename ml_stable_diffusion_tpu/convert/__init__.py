@@ -15,6 +15,10 @@ from .load import (
     load_vae,
     load_controlnet,
     load_t5,
+    load_mmdit,
+    load_safety_checker,
+    load_scheduler_config,
+    scheduler_config_from_diffusers,
 )
 
 __all__ = [
@@ -38,4 +42,8 @@ __all__ = [
     "load_vae",
     "load_controlnet",
     "load_t5",
+    "load_mmdit",
+    "load_safety_checker",
+    "load_scheduler_config",
+    "scheduler_config_from_diffusers",
 ]
