@@ -113,29 +113,28 @@ def bench_sd21(parts) -> float:
 
 
 def bench_palettized6(parts) -> dict:
-    """6-bit palettized compressed serving: HBM holds packed indices + LUTs,
-    the program dequantizes at entry (the reference's ANE decompress-on-
-    execute analog, README.md:165)."""
+    """6-bit palettized serving (install-mode: host dequant at load, dense
+    bf16 in HBM — the default; the in-program gather variant measured
+    1.11 iter/s in BENCH r2, see pipelines/sd.py install_palettized)."""
     from ml_stable_diffusion_tpu.compress.palettize import (
-        materialize_palettized,
+        dequantize_tree,
         palettize_tree,
-        split_palettized_tree,
     )
 
     _, params, make_scan, context, fresh = parts
     tree, stats = palettize_tree(
         jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params), 6)
-    dense, side, meta = split_palettized_tree(tree)
     dense = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16)
-                         if hasattr(x, "astype") else x, dense)
+                         if hasattr(x, "astype") else x,
+                         dequantize_tree(tree))
 
-    denoise = jax.jit(make_scan(
-        lambda ps: materialize_palettized(ps[0], ps[1], meta, jnp.bfloat16)))
-    best = _time_best(lambda lat: denoise((dense, side), lat, context), fresh)
+    denoise = jax.jit(make_scan(lambda p: p))
+    best = _time_best(lambda lat: denoise(dense, lat, context), fresh)
     return {
         "palettized6_iter_s": round(STEPS / best, 3),
         "palettized6_payload_shrink": round(
             stats["orig_bytes"] / max(stats["new_bytes"], 1), 2),
+        "palettized6_mode": "install-dequant",
     }
 
 

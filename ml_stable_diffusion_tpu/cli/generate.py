@@ -70,6 +70,14 @@ def parser_spec() -> argparse.ArgumentParser:
                    help="writing-script hint passed to the embedder "
                         "(reference Script enum, MultilingualTextEncoder."
                         "swift:181-194)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="serve the UNet's large Dense+Conv layers as int8 "
+                        "MXU ops (the reference's W8A8 deployment path, "
+                        "activation_quantization.py)")
+    p.add_argument("--w8a8-scales", default=None, metavar="JSON",
+                   help="calibrated activation scales {module_path: absmax} "
+                        "from compress.w8a8.capture_activation_scales "
+                        "(default: uniform constant scales)")
     p.add_argument("--use-denoised-intermediates", action="store_true",
                    help="--save-every previews decode predicted-x0 instead "
                         "of raw noisy latents (Configuration.swift:44)")
@@ -119,6 +127,13 @@ def run(args) -> list:
                          controlnet_dirs=args.controlnet,
                          fuse_qkv=args.fuse_qkv,
                          multilingual_encoder=multilingual)
+    if args.w8a8:
+        import json as _json
+
+        scales = None
+        if args.w8a8_scales:
+            scales = _json.loads(Path(args.w8a8_scales).read_text())
+        pipe.enable_w8a8(scales)
 
     starting_image = None
     if args.image:

@@ -33,6 +33,22 @@ logger = logging.getLogger(__name__)
 DEFAULT_SKIP_PATTERNS = ("to_out_0",)
 
 
+class ConstantScales(dict):
+    """Uniform activation absmax for every module — quick-start serving
+    without a calibration pass (calibrate with capture_activation_scales
+    for production quality)."""
+
+    def __init__(self, value: float = 8.0):
+        super().__init__()
+        self.value = float(value)
+
+    def __contains__(self, k):
+        return True
+
+    def __getitem__(self, k):
+        return self.value
+
+
 def _path_str(module: nn.Module) -> str:
     return "/".join(module.path)
 
@@ -176,13 +192,23 @@ def w8a8_serving_interceptor(act_scales: dict[str, float],
             if (key in int8_weights and key in act_scales
                     and not any(p in key for p in skip_patterns)):
                 wq, wscale = int8_weights[key]
+                x = args[0]
+                if isinstance(m, nn.Dense):
+                    expected = (x.shape[-1], m.features)
+                else:
+                    expected = tuple(m.kernel_size) + (
+                        x.shape[-1] // m.feature_group_count, m.features)
+                if tuple(wq.shape) != expected:
+                    # path collision with a different model's module (VAE and
+                    # UNet both have up_blocks_0/... paths) — not ours
+                    return next_fun(*args, **kwargs)
                 bias = (m.variables["params"].get("bias")
                         if m.use_bias else None)
                 if isinstance(m, nn.Dense):
-                    return int8_dense(args[0], wq, wscale, act_scales[key],
+                    return int8_dense(x, wq, wscale, act_scales[key],
                                       bias=bias)
                 strides, padding, fgc = _conv_geometry(m)
-                return int8_conv(args[0], wq, wscale, act_scales[key],
+                return int8_conv(x, wq, wscale, act_scales[key],
                                  bias=bias, strides=strides, padding=padding,
                                  feature_group_count=fgc)
         return next_fun(*args, **kwargs)

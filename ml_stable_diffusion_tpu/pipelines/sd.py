@@ -112,8 +112,43 @@ class StableDiffusionPipeline:
         #: expands them once at entry.  See install_palettized().
         self.palettized_side: dict[str, dict] = {}
         self.palettized_meta: dict[str, tuple] = {}
+        #: W8A8 serving (see enable_w8a8): int8 weights ride in the params
+        #: bundle so they are traced jit ARGUMENTS, never HLO constants
+        self.int8_weights: dict | None = None
+        self.int8_act_scales = None
+        self.int8_skip_patterns: tuple = ()
         self._programs: dict = {}
         self._decode_fn = None
+
+    def enable_w8a8(self, act_scales=None, include_convs: bool = True,
+                    min_size: int = 1 << 14, skip_patterns=None):
+        """Serve the denoiser's large Dense/Conv layers as real int8 MXU ops
+        (the reference's A17/M4 W8A8 deployment, activation_quantization.py).
+
+        ``act_scales``: {module_path: input absmax} from
+        compress.w8a8.capture_activation_scales, or None for uniform
+        ConstantScales (quick start; calibrate for production quality).
+        Quantized kernels are REMOVED from the dense params tree — HBM holds
+        the int8 copies only (half the per-step weight traffic of bf16).
+        """
+        from ..compress.w8a8 import (DEFAULT_SKIP_PATTERNS, ConstantScales,
+                                     quantize_tree_dense_int8)
+
+        if skip_patterns is None:
+            skip_patterns = DEFAULT_SKIP_PATTERNS
+        self.int8_act_scales = (ConstantScales() if act_scales is None
+                                else act_scales)
+        self.int8_skip_patterns = tuple(skip_patterns)
+        self.int8_weights = quantize_tree_dense_int8(
+            self.unet_params, min_size=min_size, skip_patterns=skip_patterns,
+            include_convs=include_convs)
+        for path in self.int8_weights:
+            node = self.unet_params
+            for part in path.split("/"):
+                node = node[part]
+            del node["kernel"]  # dense copy gone; int8 side is the weight
+        self._programs.clear()
+        return self
 
     # -- compressed serving ------------------------------------------------------
 
@@ -124,19 +159,42 @@ class StableDiffusionPipeline:
         "text_encoder2": "text_encoder2_params",
     }
 
-    def install_palettized(self, module_key: str, palettized_tree, dtype=None):
+    def install_palettized(self, module_key: str, palettized_tree, dtype=None,
+                           mode: str = "install"):
         """Serve ``module_key`` ('unet', 'refiner', ...) from a palettized
-        params tree (PalettizedTensor leaves, compress/palettize).  Dense
-        leaves stay as the module's params; palettized ones live as
-        indices+LUT and are dequantized inside the compiled program."""
-        from ..compress.palettize import split_palettized_tree
+        params tree (PalettizedTensor leaves, compress/palettize).
 
-        dense, side, meta = split_palettized_tree(palettized_tree)
-        setattr(self, self._PALETTIZED_ATTRS[module_key], dense)
-        if side:
-            self.palettized_side[module_key] = side
-            self.palettized_meta[module_key] = (
-                meta, dtype if dtype is not None else self.unet.dtype)
+        ``mode="install"`` (default): dequantize ONCE on the host at install
+        — artifacts stay (16/nbits)x smaller on disk; HBM holds dense
+        compute-dtype weights (measured: full dense speed, 53.4 iter/s
+        SD-2.1).
+        ``mode="program"``: HBM holds indices+LUT and the compiled program
+        dequantizes at entry.  MEASURED ABLATION (BENCH r2): 1.11 iter/s —
+        TPU per-element gather is ~50x too slow for a ~1B-element LUT
+        expansion, and the materialized dense copy coexists with the
+        compressed one during the scan anyway, so peak HBM is WORSE than
+        dense.  Kept as the starting point for a fused Pallas
+        dequant-matmul (per-tile in-VMEM LUT expansion), which is the form
+        that actually cuts per-step weight traffic."""
+        from ..compress.palettize import (dequantize_tree,
+                                          split_palettized_tree)
+
+        dtype = dtype if dtype is not None else self.unet.dtype
+        if mode == "install":
+            import jax
+
+            dense = jax.tree.map(
+                lambda l: jnp.asarray(l, dtype) if hasattr(l, "astype")
+                else l, dequantize_tree(palettized_tree))
+            setattr(self, self._PALETTIZED_ATTRS[module_key], dense)
+        elif mode == "program":
+            dense, side, meta = split_palettized_tree(palettized_tree)
+            setattr(self, self._PALETTIZED_ATTRS[module_key], dense)
+            if side:
+                self.palettized_side[module_key] = side
+                self.palettized_meta[module_key] = (meta, dtype)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
         self._programs.clear()
 
     def _materialize_bundle(self, bundle):
@@ -220,6 +278,8 @@ class StableDiffusionPipeline:
             b["multilingual"] = self.multilingual_encoder[1]
         if self.palettized_side:
             b["palettized"] = self.palettized_side
+        if self.int8_weights is not None:
+            b["int8"] = self.int8_weights
         return b
 
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
@@ -420,13 +480,28 @@ class StableDiffusionPipeline:
         }
 
     def _intercepted(self, fn):
-        if self.method_interceptor is None:
+        if self.method_interceptor is None and self.int8_weights is None:
             return fn
+        import contextlib
+
         import flax.linen as nn
 
-        def wrapped(*args, **kwargs):
-            with nn.intercept_methods(self.method_interceptor):
-                return fn(*args, **kwargs)
+        def wrapped(bundle, *args, **kwargs):
+            with contextlib.ExitStack() as stack:
+                if self.int8_weights is not None:
+                    # built INSIDE the traced fn so the interceptor closes
+                    # over TRACED int8 weights (concrete closures inline as
+                    # HLO constants and overflow the remote compiler)
+                    from ..compress.w8a8 import w8a8_serving_interceptor
+
+                    stack.enter_context(nn.intercept_methods(
+                        w8a8_serving_interceptor(
+                            self.int8_act_scales, bundle["int8"],
+                            skip_patterns=self.int8_skip_patterns)))
+                if self.method_interceptor is not None:
+                    stack.enter_context(
+                        nn.intercept_methods(self.method_interceptor))
+                return fn(bundle, *args, **kwargs)
 
         return wrapped
 

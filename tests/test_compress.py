@@ -253,6 +253,54 @@ def test_w8a8_conv_serving_on_unet():
     assert compute_psnr(np.asarray(served), np.asarray(ref)) > 20
 
 
+def test_pipeline_enable_w8a8_end_to_end(tmp_path):
+    """enable_w8a8: int8 weights ride in the params bundle (traced args, not
+    HLO constants), dense copies are dropped, generation stays close to fp."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+
+    tok = tiny_tokenizer(tmp_path)
+    te = tiny_text_encoder()
+    unet_model, unet_params = tiny_unet()
+    dec, enc = tiny_vae()
+
+    cfg = PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                                scheduler="DDIM", disable_safety=True)
+    ref_pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=te, unet=(unet_model, unet_params),
+        vae_decoder=dec, vae_encoder=enc)
+    ref = ref_pipe.generate_images(cfg, image_hw=(64, 64)).latents
+
+    import copy
+
+    pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=te,
+        unet=(unet_model, copy.deepcopy(unet_params)),
+        vae_decoder=dec, vae_encoder=enc)
+    pipe.enable_w8a8(min_size=1, skip_patterns=())
+    assert pipe.int8_weights  # something quantized
+    # dense copies of quantized kernels are gone from the bundle
+    some_path = next(iter(pipe.int8_weights)).split("/")
+    node = pipe.unet_params
+    for part in some_path:
+        node = node[part]
+    assert "kernel" not in node
+
+    out = pipe.generate_images(cfg, image_hw=(64, 64)).latents
+    assert np.isfinite(out).all()
+    assert compute_psnr(out, ref) > 15  # int8 on tiny layers is coarse
+    # and it actually changed something (int8 path really ran)
+    assert np.abs(out - ref).max() > 1e-6
+
+
 def test_w8a8_serving_interceptor_matches_simulation(toy):
     from ml_stable_diffusion_tpu.compress.w8a8 import (
         quantizable_dense_paths,

@@ -112,14 +112,24 @@ def test_palettized_pipeline_serving_equivalence(tmp_path):
         vae_decoder=vae_dec, vae_encoder=vae_enc)
     ref = ref_pipe.generate_images(cfg, image_hw=(64, 64)).latents
 
+    # program-mode: HBM keeps indices+LUT, the program dequantizes at entry
     pal_pipe = StableDiffusionPipeline(
         tokenizer=tok, text_encoder=te, unet=(unet_model, None),
         vae_decoder=vae_dec, vae_encoder=vae_enc)
-    pal_pipe.install_palettized("unet", pal_tree, dtype=jnp.float32)
+    pal_pipe.install_palettized("unet", pal_tree, dtype=jnp.float32,
+                                mode="program")
     assert pal_pipe.palettized_side  # something actually compressed
     out = pal_pipe.generate_images(cfg, image_hw=(64, 64)).latents
-
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # install-mode (default): host dequant at load, dense params
+    inst_pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=te, unet=(unet_model, None),
+        vae_decoder=vae_dec, vae_encoder=vae_enc)
+    inst_pipe.install_palettized("unet", pal_tree, dtype=jnp.float32)
+    assert not inst_pipe.palettized_side
+    out2 = inst_pipe.generate_images(cfg, image_hw=(64, 64)).latents
+    np.testing.assert_allclose(out2, ref, atol=1e-5)
 
 
 def test_convert_cli_quantize_serves_compressed(tmp_path):
@@ -160,7 +170,9 @@ def test_convert_cli_quantize_serves_compressed(tmp_path):
     assert pal_bytes < dense_bytes / 2  # 4-bit vs bf16 kernels
 
     pipe = load_pipeline_from_artifacts(pal_out, compute_dtype=jnp.float32)
-    assert pipe.palettized_side  # serving compressed, not dequantized dense
+    # default install-mode: disk stayed compressed, params dequantized dense
+    assert not pipe.palettized_side
+    assert pipe.unet_params  # materialized
     res = pipe.generate_images(
         PipelineConfiguration(prompt="cat", step_count=2, seed=0,
                               scheduler="DDIM", disable_safety=True),
