@@ -23,6 +23,9 @@ def parser_spec():
     p.add_argument("--scheduler", default="DPMSolverMultistep")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--seed", type=int, default=93)
+    p.add_argument("--max-latency", type=float, default=90.0,
+                   help="fail if median e2e latency exceeds this (reference "
+                        "gate, test_stable_diffusion.py:112-115)")
     p.add_argument("-o", "--output-json", default="benchmark.json")
     return p
 
@@ -40,10 +43,15 @@ def run(args) -> dict:
     # warmup/compile
     pipe.generate_images(cfg, image_hw=(h, w))
 
+    import dataclasses
+
     e2e, per_step = [], []
-    for _ in range(args.repeats):
+    for r in range(args.repeats):
+        # distinct seed per repeat: identical requests can be replayed by
+        # remote-device caches, yielding fake latencies
+        rcfg = dataclasses.replace(cfg, seed=args.seed + r)
         t0 = time.perf_counter()
-        res = pipe.generate_images(cfg, image_hw=(h, w))
+        res = pipe.generate_images(rcfg, image_hw=(h, w))
         e2e.append(time.perf_counter() - t0)
         per_step.append(res.seconds_per_step)
 
@@ -59,6 +67,10 @@ def run(args) -> dict:
     }
     Path(args.output_json).write_text(json.dumps(report, indent=1))
     logger.info("%s", json.dumps(report))
+    if report["e2e_latency_median_s"] > args.max_latency:
+        raise SystemExit(
+            f"median latency {report['e2e_latency_median_s']:.1f}s exceeds "
+            f"the {args.max_latency:.0f}s gate")
     return report
 
 

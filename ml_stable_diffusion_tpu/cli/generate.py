@@ -53,6 +53,10 @@ def parser_spec() -> argparse.ArgumentParser:
                         "--controlnet, main.swift:69)")
     p.add_argument("--save-every", type=int, default=0,
                    help="save intermediate images every N steps (main.swift:57)")
+    p.add_argument("--compute-units", "--device", dest="device", default=None,
+                   help="TPU analog of the reference's --compute-units "
+                        "(main.swift:335-345): jax platform or "
+                        "'platform:index', e.g. tpu, tpu:0, cpu")
     p.add_argument("--multilingual", action="store_true",
                    help="use a MultilingualTextEncoderProjection artifact "
                         "instead of the CLIP text encoder (reference "
@@ -96,11 +100,17 @@ def _load_embedder(spec: str, script: str):
 
 
 def run(args) -> list:
+    import jax
     import jax.numpy as jnp
 
     from ..convert.load import load_pipeline
     from ..pipelines.config import PipelineConfiguration
     from ..utils.image import pil_to_tensor
+
+    if getattr(args, "device", None):
+        plat, _, idx = args.device.partition(":")
+        jax.config.update("jax_default_device",
+                          jax.devices(plat)[int(idx or 0)])
 
     prompt = args.prompt_opt or args.prompt or ""
     h, w = (int(x) for x in args.size.split("x"))
