@@ -63,6 +63,26 @@ def test_sharded_unet_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_train_step_remat_matches():
+    """remat=True must compute the same loss (only memory behavior differs)."""
+    model, params = tiny_unet()
+    mesh = make_mesh(2, dp=1)
+    batch = {
+        "latents": jax.device_put(jnp.zeros((2, 8, 8, 4)),
+                                  batch_sharding(mesh, 4)),
+        "context": jax.device_put(jnp.zeros((2, 77, 48)),
+                                  batch_sharding(mesh, 3)),
+        "rng": jax.random.key(0),
+    }
+    losses = []
+    for remat in (False, True):
+        init_fn, step_fn = make_train_step(model, optax.sgd(1e-3), mesh,
+                                           remat=remat)
+        _, loss = step_fn(init_fn(params), dict(batch))
+        losses.append(float(loss))
+    assert np.isclose(losses[0], losses[1], rtol=1e-5)
+
+
 def test_spatial_sharded_forward_matches_single_device():
     """Spatial (sequence) parallelism: latent H sharded over 'tp'; GSPMD's
     conv halo exchanges + attention gathers must reproduce the unsharded
