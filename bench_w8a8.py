@@ -51,9 +51,12 @@ def run(include_convs: bool = False) -> float:
         jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
         for k, s in zip(keys, leaves)])
 
+    import sys
+
     int8_w = quantize_tree_dense_int8(params, include_convs=include_convs)
     n_conv = sum(1 for wq, _ in int8_w.values() if wq.ndim == 4)
-    print(f"# int8 layers: {len(int8_w)} ({n_conv} convs)")
+    # stderr: bench.py's stdout must stay ONE JSON line for the driver
+    print(f"# int8 layers: {len(int8_w)} ({n_conv} convs)", file=sys.stderr)
 
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)

@@ -1,16 +1,27 @@
 """Palettized (LUT-compressed) weight serving.
 
-The ANE decompresses palettized weights on the fly (reference README.md:165);
-the TPU analog keeps indices (uint8 / packed uint4) + LUT in HBM and expands
-through the LUT on load.  XLA fuses the small-table gather with the consumer
-matmul's operand fetch; a dedicated Pallas dequant-matmul is a planned
-optimization for the bandwidth-bound decode path.
+The ANE decompresses palettized weights on the fly (reference README.md:165).
+TPU implementations here, in measured-preference order:
+
+- ``palettized_dense_fused``: Pallas kernel — uint8 indices + LUT stay in
+  HBM, each weight TILE is expanded in VMEM by a select-sum over the (small)
+  LUT fused into the matmul's K-loop.  Per-element ``jnp.take`` dequant
+  measured ~50x too slow on TPU (BENCH r2: 1.11 vs 53.4 iter/s), and VPU
+  select-sum per tile is ~1% of the tile's MXU work, so this is the only
+  form where compressed-in-HBM serving pays.
+- ``palettized_dense``: XLA gather + matmul (reference semantics; fine for
+  one-off dequant, not for per-step serving).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_bits(indices: np.ndarray, nbits: int) -> np.ndarray:
@@ -46,6 +57,94 @@ def unpack_4bit(packed, n: int):
     hi = packed >> 4
     out = jnp.stack([lo, hi], axis=1).reshape(-1)
     return out[:n]
+
+
+def _dequant_matmul_kernel(x_ref, idx_ref, lut_ref, o_ref, acc_ref, *,
+                           n_lut):
+    """One (k) step of y = x @ lut[idx]: expand the (bk, bn) index tile via
+    VPU select-sum over the LUT (n_lut passes — ~1% of the tile's MXU work;
+    per-element gather is ~50x slower on TPU), then accumulate the matmul."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    idx = idx_ref[:].astype(jnp.int32)  # (bk, bn)
+
+    def body(c, w):
+        return w + jnp.where(idx == c, lut_ref[c], 0.0)
+
+    w = jax.lax.fori_loop(0, n_lut, body,
+                          jnp.zeros(idx.shape, jnp.float32))
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w.astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _finalize():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_lut", "block_k", "block_n",
+                                    "interpret"))
+def _dequant_matmul(x, idx, lut, n_lut: int, block_k: int = 512,
+                    block_n: int = 256, interpret: bool = False):
+    """x (M, K) @ lut[idx (K, N)] -> (M, N).  idx uint8 (unpacked), lut
+    padded to n_lut.  The M axis stays whole per block (the weight tile is
+    dequantized once per (n, k) grid cell — an m-axis grid would redo it)."""
+    M, K = x.shape
+    K2, N = idx.shape
+    assert K == K2, (x.shape, idx.shape)
+    bk = min(block_k, K)
+    while K % bk:
+        bk //= 2
+    bn = min(block_n, N)
+    while N % bn:
+        bn //= 2
+    grid = (N // bn, K // bk)
+
+    return pl.pallas_call(
+        functools.partial(_dequant_matmul_kernel, n_lut=n_lut),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, idx, lut)
+
+
+def palettized_dense_fused(x, indices, lut, shape, bias=None,
+                           interpret: bool = False):
+    """Fused dequant-matmul: x (..., K) @ lut[indices].reshape(K, N).
+
+    ``indices`` uint8 flat (unpacked); weights stay compressed in HBM and
+    are expanded tile-by-tile in VMEM inside the kernel.
+    """
+    K, N = shape
+    lead = x.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    n_lut = int(lut.shape[0])
+    idx2d = indices.reshape(K, N)
+    y = _dequant_matmul(x.reshape(M, K), idx2d, lut.astype(jnp.float32),
+                        n_lut, interpret=interpret)
+    y = y.reshape(*lead, N)
+    if bias is not None:
+        y = y + bias
+    return y
 
 
 def palettized_dense(x, indices, lut, shape, bias=None):

@@ -82,6 +82,46 @@ def test_pick_block():
     assert _pick_block(640, 512) == 128  # halves until it divides
 
 
+@pytest.mark.parametrize("nbits,dtype", [
+    (4, jnp.float32), (6, jnp.bfloat16), (8, jnp.float32)])
+def test_fused_dequant_matmul_matches_dense(nbits, dtype):
+    """Pallas fused dequant-matmul == x @ dequantized(W) (select-sum LUT
+    expansion, multi-tile K accumulation)."""
+    from ml_stable_diffusion_tpu.compress.palettize import palettize_array
+    from ml_stable_diffusion_tpu.ops.palettized import palettized_dense_fused
+
+    rng = np.random.RandomState(0)
+    M, K, N = 64, 256, 384
+    x = jnp.asarray(rng.randn(M, K), jnp.float32).astype(dtype)
+    w = rng.randn(K, N).astype(np.float32) * 0.1
+    pt = palettize_array(w, nbits)
+    bias = jnp.asarray(rng.randn(N), jnp.float32)
+
+    got = palettized_dense_fused(x, jnp.asarray(pt.indices),
+                                 jnp.asarray(pt.lut), pt.shape, bias=bias,
+                                 interpret=True)
+    ref = x @ jnp.asarray(pt.dequantize()).astype(dtype) + bias
+    atol = 5e-2 if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=atol)
+
+
+def test_fused_dequant_matmul_batched_input():
+    from ml_stable_diffusion_tpu.compress.palettize import palettize_array
+    from ml_stable_diffusion_tpu.ops.palettized import palettized_dense_fused
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 32, 128), jnp.float32)
+    w = rng.randn(128, 256).astype(np.float32)
+    pt = palettize_array(w, 6)
+    got = palettized_dense_fused(x, jnp.asarray(pt.indices),
+                                 jnp.asarray(pt.lut), pt.shape,
+                                 interpret=True)
+    ref = x @ pt.dequantize()
+    assert got.shape == (2, 32, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 @pytest.mark.parametrize("apply_silu", [True, False])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_gn_silu_kernel_matches_fallback(apply_silu, dtype):
