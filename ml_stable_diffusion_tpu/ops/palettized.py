@@ -122,6 +122,9 @@ def _dequant_matmul(x, idx, lut, n_lut: int, block_k: int = 512,
         scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # whole-M x/acc/out blocks exceed the 16MB default scoped budget
+            # (M=8192: 8+8+4MB); v5e VMEM is 128MB
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, idx, lut)

@@ -120,7 +120,7 @@ class StableDiffusionPipeline:
         self._programs: dict = {}
         self._decode_fn = None
 
-    def enable_w8a8(self, act_scales=None, include_convs: bool = True,
+    def enable_w8a8(self, act_scales=None, include_convs: bool = False,
                     min_size: int = 1 << 14, skip_patterns=None):
         """Serve the denoiser's large Dense/Conv layers as real int8 MXU ops
         (the reference's A17/M4 W8A8 deployment, activation_quantization.py).
@@ -130,6 +130,11 @@ class StableDiffusionPipeline:
         ConstantScales (quick start; calibrate for production quality).
         Quantized kernels are REMOVED from the dense params tree — HBM holds
         the int8 copies only (half the per-step weight traffic of bf16).
+
+        ``include_convs`` defaults False: int8 convs MEASURED SLOWER than
+        bf16 on v5e (53.7 vs 55.4 iter/s dense-only, BENCH r2) — the
+        per-conv activation quant + int32 rescale costs more than the halved
+        conv weight traffic saves.
         """
         from ..compress.w8a8 import (DEFAULT_SKIP_PATTERNS, ConstantScales,
                                      quantize_tree_dense_int8)
