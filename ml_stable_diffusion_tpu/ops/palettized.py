@@ -5,12 +5,21 @@ TPU implementations here, in measured-preference order:
 
 - ``palettized_dense_fused``: Pallas kernel — uint8 indices + LUT stay in
   HBM, each weight TILE is expanded in VMEM by a select-sum over the (small)
-  LUT fused into the matmul's K-loop.  Per-element ``jnp.take`` dequant
-  measured ~50x too slow on TPU (BENCH r2: 1.11 vs 53.4 iter/s), and VPU
-  select-sum per tile is ~1% of the tile's MXU work, so this is the only
-  form where compressed-in-HBM serving pays.
-- ``palettized_dense``: XLA gather + matmul (reference semantics; fine for
-  one-off dequant, not for per-step serving).
+  LUT fused into the matmul's K-loop.  MEASURED (v5e, 8192x1280x1280 @6-bit,
+  amortized): 34.0 TFLOP/s vs 58.4 dense bf16 — the VPU select-sum
+  (2^nbits passes per weight element, ~0.95 T op/s) costs ~330 us/matmul
+  while the weight-traffic it saves is ~4 us; at serving batch sizes the
+  matmul is compute-bound, so fused dequant cannot pay on this chip.
+  Kept with interpret-mode tests as the reference implementation for future
+  hardware with faster vector gathers.
+- ``palettized_dense``: XLA gather + matmul.  Per-element ``jnp.take``
+  dequant of a full UNet measured ~50x too slow on TPU (BENCH r2: 1.11 vs
+  53.4 iter/s).
+
+CONCLUSION (measured, r2): compressed-in-HBM palettized serving loses in
+every form on v5e; install-time dequant (pipelines install_palettized) is
+the production design — disk artifacts stay (16/nbits)x smaller, HBM holds
+dense bf16 at full speed.
 """
 
 from __future__ import annotations
