@@ -82,6 +82,11 @@ def parser_spec() -> argparse.ArgumentParser:
                    help="calibrated activation scales {module_path: absmax} "
                         "from compress.w8a8.capture_activation_scales "
                         "(default: uniform constant scales)")
+    p.add_argument("--reduce-memory", action="store_true",
+                   help="load each model's weights to HBM just-in-time and "
+                        "free them after use (reference --reduce-memory, "
+                        "main.swift:94 / StableDiffusionPipeline.swift:"
+                        "169-200); generation runs as per-stage programs")
     p.add_argument("--use-denoised-intermediates", action="store_true",
                    help="--save-every previews decode predicted-x0 instead "
                         "of raw noisy latents (Configuration.swift:44)")
@@ -144,6 +149,8 @@ def run(args) -> list:
         if args.w8a8_scales:
             scales = _json.loads(Path(args.w8a8_scales).read_text())
         pipe.enable_w8a8(scales)
+    if args.reduce_memory:
+        pipe.offload_params_to_host()
 
     starting_image = None
     if args.image:
@@ -170,6 +177,7 @@ def run(args) -> list:
         timestep_shift=args.timestep_shift, rng=args.rng,
         unet_batch_one=args.unet_batch_one,
         use_denoised_intermediates=args.use_denoised_intermediates,
+        reduce_memory=args.reduce_memory,
         attention_implementation=args.attention_implementation)
 
     out_dir = Path(args.output_path)

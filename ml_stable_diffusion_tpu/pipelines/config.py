@@ -32,6 +32,14 @@ class PipelineConfiguration:
     controlnet_inputs: Sequence[Any] = ()
 
     disable_safety: bool = False
+    #: reference reduceMemory (StableDiffusionPipeline.swift:94,169-200,
+    #: main.swift --reduce-memory): models load just-in-time and unload
+    #: after use.  TPU analog: generation runs as per-stage programs
+    #: (encode / each denoise phase / decode) whose weights are transferred
+    #: from host RAM per call, so peak HBM holds one stage's weights +
+    #: activations rather than every model at once.  Pair with
+    #: ``pipeline.offload_params_to_host()``.
+    reduce_memory: bool = False
     #: progress callback sees decoded (denoised-x0) previews instead of raw
     #: noisy latents (reference useDenoisedIntermediates)
     use_denoised_intermediates: bool = False

@@ -210,7 +210,8 @@ class StableDiffusionPipeline:
         from ..compress.palettize import materialize_palettized
 
         bundle = dict(bundle)
-        side_all = bundle.pop("palettized")
+        # stage bundles (reduce_memory) carry only their own modules' side
+        side_all = bundle.pop("palettized", {})
         for mk, side in side_all.items():
             meta, dtype = self.palettized_meta[mk]
             bundle[mk] = materialize_palettized(bundle[mk], side, meta, dtype)
@@ -285,6 +286,61 @@ class StableDiffusionPipeline:
             b["palettized"] = self.palettized_side
         if self.int8_weights is not None:
             b["int8"] = self.int8_weights
+        return b
+
+    #: param-holding attributes moved by offload_params_to_host (SDXL extends)
+    _PARAM_ATTRS = ("text_encoder_params", "unet_params",
+                    "vae_decoder_params", "vae_encoder_params",
+                    "safety_checker_params")
+
+    def offload_params_to_host(self):
+        """Move every model's weights to host RAM — the reduceMemory analog
+        (reference StableDiffusionPipeline.swift:94,169-200: models load
+        just-in-time and unload after use; main.swift --reduce-memory).
+
+        With ``PipelineConfiguration.reduce_memory`` generation then runs as
+        per-stage programs (encode / each denoise phase / decode / safety)
+        whose weights transfer to HBM per call and are freed when the call's
+        buffers die, so peak HBM holds one stage's weights + activations —
+        e.g. an SDXL base+refiner setup never holds both UNets on-chip."""
+        import jax
+
+        def to_host(t):
+            return None if t is None else jax.tree.map(np.asarray, t)
+
+        for attr in self._PARAM_ATTRS:
+            setattr(self, attr, to_host(getattr(self, attr)))
+        self.controlnets = [(m, to_host(p)) for m, p in self.controlnets]
+        if self.multilingual_encoder is not None:
+            proj, p, fn = self.multilingual_encoder
+            self.multilingual_encoder = (proj, to_host(p), fn)
+        if self.int8_weights is not None:
+            self.int8_weights = to_host(self.int8_weights)
+        if self.palettized_side:
+            self.palettized_side = to_host(self.palettized_side)
+        return self
+
+    def _phase_module_key(self, call_unet) -> str:
+        """bundle key of the denoiser a phase uses ('unet' | 'refiner')."""
+        return "unet"
+
+    def _stage_bundle(self, stage, img2img: bool = False) -> dict:
+        """Minimal params bundle for one stage of a reduce_memory run:
+        ``stage`` is "encode" or a phase's module key ('unet'/'refiner')."""
+        full = self._params_bundle()
+        if stage == "encode":
+            keys = ["text_encoder", "text_encoder2", "multilingual"]
+            if img2img:
+                keys.append("vae_encoder")
+        else:
+            keys = [stage, "controlnets"]
+            if stage == "unet":
+                keys.append("int8")  # W8A8 serves the base UNet only
+        b = {k: full[k] for k in keys if k in full}
+        side = {mk: v for mk, v in full.get("palettized", {}).items()
+                if mk in b}
+        if side:
+            b["palettized"] = side
         return b
 
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
@@ -463,6 +519,25 @@ class StableDiffusionPipeline:
             state = scheduler.initial_state(plan, latents.shape)
             return latents, state, text
 
+        def make_phase_scan(phase_idx):
+            """One denoise phase as its own scan program — the unit of the
+            reduce_memory staged path (only this phase's denoiser weights
+            ride in the bundle)."""
+
+            def phase_scan(bundle, latents, state, text, step_noises, key,
+                           ctrl_images):
+                bundle = self._materialize_bundle(bundle)
+                lo, hi, denoiser = phase_denoisers(bundle, text,
+                                                   ctrl_images)[phase_idx]
+                step = make_step(denoiser, key)
+                idx = jnp.arange(plan.num_steps)
+                xs = (idx[lo:hi],
+                      None if step_noises is None else step_noises[lo:hi])
+                (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
+                return latents, state
+
+            return jax.jit(self._intercepted(phase_scan))
+
         def make_one_step(phase_idx):
             def one_step(bundle, latents, state, text, i, step_noise, key,
                          ctrl_images):
@@ -481,7 +556,9 @@ class StableDiffusionPipeline:
             "full": jax.jit(self._intercepted(full_run)),
             "init": jax.jit(self._intercepted(init_run)),
             "steps": [make_one_step(pi) for pi in range(len(phases))],
+            "phase_scans": [make_phase_scan(pi) for pi in range(len(phases))],
             "phases": [(lo, hi) for lo, hi, _ in phases],
+            "phase_keys": [self._phase_module_key(cu) for _, _, cu in phases],
         }
 
     def _intercepted(self, fn):
@@ -493,7 +570,9 @@ class StableDiffusionPipeline:
 
         def wrapped(bundle, *args, **kwargs):
             with contextlib.ExitStack() as stack:
-                if self.int8_weights is not None:
+                # stage bundles without "int8" (reduce_memory encode stage)
+                # skip the W8A8 interceptor — it only rewrites the denoiser
+                if self.int8_weights is not None and "int8" in bundle:
                     # built INSIDE the traced fn so the interceptor closes
                     # over TRACED int8 weights (concrete closures inline as
                     # HLO constants and overflow the remote compiler)
@@ -589,24 +668,40 @@ class StableDiffusionPipeline:
             init_image = jnp.asarray(
                 np.broadcast_to(arr, (N, h * ds, w * ds, 3)).copy())
 
-        bundle = self._params_bundle()
+        staged = cfg.reduce_memory
+        bundle = None if staged else self._params_bundle()
         t0 = time.perf_counter()
-        if progress_handler is None:
+        if progress_handler is None and not staged:
             latents = prog["full"](bundle, token_ids, init_image, rng_key,
                                    init_noise, step_noises,
                                    self._ctrl_images(cfg, N))
         else:
-            latents, state, text = prog["init"](bundle, token_ids, init_image,
-                                                rng_key, init_noise)
+            # staged path: each stage's program gets only that stage's
+            # weights (reduceMemory analog; reference loads/unloads each
+            # model around its use, StableDiffusionPipeline.swift:169-200)
+            enc_bundle = (self._stage_bundle("encode", img2img) if staged
+                          else bundle)
+            latents, state, text = prog["init"](enc_bundle, token_ids,
+                                                init_image, rng_key,
+                                                init_noise)
+            del enc_bundle
             ctrl = self._ctrl_images(cfg, N)
             stopped = False
             for pi, (lo, hi) in enumerate(prog["phases"]):
                 if stopped:
                     break
+                ph_bundle = (self._stage_bundle(prog["phase_keys"][pi])
+                             if staged else bundle)
+                if progress_handler is None:
+                    latents, state = prog["phase_scans"][pi](
+                        ph_bundle, latents, state, text, step_noises, rng_key,
+                        ctrl)
+                    del ph_bundle
+                    continue
                 for i in range(lo, hi):
                     sn = step_noises[i] if step_noises is not None else None
                     latents, state, preview = prog["steps"][pi](
-                        bundle, latents, state, text, jnp.asarray(i), sn,
+                        ph_bundle, latents, state, text, jnp.asarray(i), sn,
                         rng_key, ctrl)
                     keep_going = progress_handler(PipelineProgress(
                         self, i + 1, plan.num_steps, np.asarray(latents),
@@ -615,6 +710,7 @@ class StableDiffusionPipeline:
                     if keep_going is False:  # early stop (reference :338-349)
                         stopped = True
                         break
+                del ph_bundle
         latents = np.asarray(jax.block_until_ready(latents))
         dt = (time.perf_counter() - t0) / plan.num_steps
 

@@ -65,6 +65,12 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             b["refiner"] = self.refiner_unet_params
         return b
 
+    _PARAM_ATTRS = StableDiffusionPipeline._PARAM_ATTRS + (
+        "text_encoder2_params", "refiner_unet_params")
+
+    def _phase_module_key(self, call_unet) -> str:
+        return "refiner" if call_unet == self._call_refiner else "unet"
+
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
         out2 = self.text_encoder2.apply(

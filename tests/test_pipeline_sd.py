@@ -6,6 +6,7 @@ rule, schedulers, img2img, progress callbacks with early stop, serial-CFG
 parity mode, RNG parity modes.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -133,3 +134,28 @@ def test_validation_errors(pipe):
         pipe.generate_images(_cfg(step_count=0), image_hw=HW)
     with pytest.raises(ValueError):
         pipe.generate_images(_cfg(strength=0.0), image_hw=HW)
+
+
+def test_reduce_memory_matches_default(pipe):
+    """reduceMemory analog (StableDiffusionPipeline.swift:94,169-200): the
+    staged per-stage-bundle path must reproduce the one-program path, with
+    host-offloaded weights transferred per call."""
+    a = pipe.generate_images(_cfg(seed=7), image_hw=HW)
+    pipe.offload_params_to_host()
+    assert isinstance(
+        next(iter(jax.tree_util.tree_leaves(pipe.unet_params))), np.ndarray)
+    b = pipe.generate_images(_cfg(seed=7, reduce_memory=True), image_hw=HW)
+    np.testing.assert_allclose(a.latents, b.latents, atol=1e-5)
+    # callback path under reduce_memory
+    c = pipe.generate_images(_cfg(seed=7, reduce_memory=True),
+                             progress_handler=lambda p: True, image_hw=HW)
+    np.testing.assert_allclose(a.latents, c.latents, atol=1e-5)
+
+
+def test_reduce_memory_stage_bundles_are_minimal(pipe):
+    enc = pipe._stage_bundle("encode")
+    assert "unet" not in enc and "text_encoder" in enc
+    assert "vae_encoder" not in enc  # txt2img: no encoder weights
+    den = pipe._stage_bundle("unet")
+    assert "text_encoder" not in den and "unet" in den
+    assert "vae_encoder" in pipe._stage_bundle("encode", img2img=True)

@@ -140,3 +140,24 @@ def test_small_refiner_start_rounds_to_refiner_only(xl_pipe):
     phases = xl_pipe._denoise_phases(_cfg(refiner_start=0.1), 4)
     assert len(phases) == 1
     assert phases[0][2] == xl_pipe._call_refiner
+
+
+def test_xl_reduce_memory_stage_bundles(xl_pipe):
+    """Stage bundles never carry the other phase's denoiser — the point of
+    reduceMemory for SDXL base+refiner (XL+Resources.swift reduceMemory)."""
+    enc = xl_pipe._stage_bundle("encode")
+    assert "unet" not in enc and "refiner" not in enc
+    assert "text_encoder" in enc and "text_encoder2" in enc
+    base = xl_pipe._stage_bundle("unet")
+    assert "refiner" not in base and "text_encoder" not in base
+    ref = xl_pipe._stage_bundle("refiner")
+    assert "unet" not in ref and "refiner" in ref
+
+
+def test_xl_reduce_memory_matches_default(xl_pipe):
+    a = xl_pipe.generate_images(_cfg(seed=3, refiner_start=0.6),
+                                image_hw=(64, 64))
+    xl_pipe.offload_params_to_host()
+    b = xl_pipe.generate_images(_cfg(seed=3, refiner_start=0.6,
+                                     reduce_memory=True), image_hw=(64, 64))
+    np.testing.assert_allclose(a.latents, b.latents, atol=2e-4)
