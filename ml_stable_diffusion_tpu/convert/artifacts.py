@@ -15,7 +15,10 @@ from pathlib import Path
 
 import jax
 import numpy as np
-from safetensors.numpy import load_file, save_file
+
+# own reader/writer (native C++ header parse + zero-copy mmap views);
+# byte-compatible with the ecosystem's safetensors libraries
+from .native_io import load_file, save_file
 
 
 def _is_palettized(leaf) -> bool:

@@ -32,8 +32,12 @@ logger = logging.getLogger(__name__)
 
 
 def load_safetensors_state_dict(module_dir: str | Path) -> dict:
-    """Load a (possibly sharded) diffusers-layout safetensors state dict."""
-    from safetensors.numpy import load_file
+    """Load a (possibly sharded) diffusers-layout safetensors state dict.
+
+    Arrays are zero-copy read-only mmap views (convert/native_io): porting
+    transposes/reshapes them into fresh buffers, so checkpoints page in
+    lazily and are never duplicated in host RAM."""
+    from .native_io import load_file
 
     module_dir = Path(module_dir)
     index = None
