@@ -163,3 +163,33 @@ def test_vae_port_roundtrip():
         key = jax.tree_util.keystr(p)
         assert key in flat_b, key
         np.testing.assert_array_equal(np.asarray(v), flat_b[key], err_msg=key)
+
+
+def test_vae_resnet_parity_structured():
+    """Structured weights (distinct per-tensor means + ramps) — catches
+    swapped norm scale/shift or transposed convs that random weights mask."""
+    from helpers import structure_torch_module
+
+    tm = structure_torch_module(_TorchVAEResnet(16, 32, 8).eval())
+    params = _vae_resnet(tm.state_dict(), "")
+    x = torch.randn(2, 16, 8, 8) * 0.5
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    out = VAEResnetBlock(out_channels=32, groups=8).apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    report_correctness(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                       "vae_resnet.structured")
+
+
+def test_vae_attention_parity_structured():
+    from helpers import structure_torch_module
+
+    tm = structure_torch_module(_TorchVAEAttention(32, 8).eval())
+    params = _vae_attention(dict(tm.state_dict()), "")
+    x = torch.randn(1, 32, 6, 6) * 0.5
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    out = VAEAttentionBlock(channels=32, groups=8).apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    report_correctness(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                       "vae_attn.structured")
