@@ -40,6 +40,8 @@ def _sd21_parts():
         cfg = dataclasses.replace(cfg, fuse_qkv=True)
     if os.environ.get("SDTPU_FUSED_GN") == "1":
         cfg = dataclasses.replace(cfg, fused_groupnorm=True)
+    if os.environ.get("SDTPU_GN_LOWMEM") == "1":
+        cfg = dataclasses.replace(cfg, lowmem_groupnorm=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8

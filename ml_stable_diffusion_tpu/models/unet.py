@@ -61,6 +61,10 @@ class UNetConfig:
     fuse_qkv: bool = False
     #: serve-time optimization: fused Pallas GroupNorm+SiLU (ops/groupnorm.py)
     fused_groupnorm: bool = False
+    #: GroupNorm stats reduced directly from the compute dtype (no f32
+    #: materialization of the tensor + its square — see
+    #: ops/groupnorm.group_norm_silu_lowmem)
+    lowmem_groupnorm: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -158,6 +162,7 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     fused_gn: bool = False
+    lowmem_gn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _gn_silu(self, x, name):
@@ -167,6 +172,12 @@ class ResnetBlock2D(nn.Module):
             scale, bias = _GNParams(x.shape[-1], name=name)()
             return group_norm_silu(x, scale, bias, self.groups,
                                    self.eps).astype(self.dtype)
+        if self.lowmem_gn:
+            from ..ops.groupnorm import group_norm_silu_lowmem
+
+            scale, bias = _GNParams(x.shape[-1], name=name)()
+            return group_norm_silu_lowmem(
+                x.astype(self.dtype), scale, bias, self.groups, self.eps)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          dtype=self.dtype, name=name)(x)
         return nn.silu(h)
@@ -372,6 +383,7 @@ class UNet2DConditionModel(nn.Module):
             for li in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
                                   fused_gn=cfg.fused_groupnorm,
+                                  lowmem_gn=cfg.lowmem_groupnorm,
                                   dtype=self.dtype,
                                   name=f"down_blocks_{bi}_resnets_{li}")(h, emb)
                 if btype == "CrossAttnDownBlock2D":
@@ -391,6 +403,7 @@ class UNet2DConditionModel(nn.Module):
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           fused_gn=cfg.fused_groupnorm,
+                                  lowmem_gn=cfg.lowmem_groupnorm,
                           dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
         h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
                                cfg.transformer_layers_per_block[-1],
@@ -399,6 +412,7 @@ class UNet2DConditionModel(nn.Module):
                                name="mid_block_attentions_0")(h, encoder_hidden_states)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           fused_gn=cfg.fused_groupnorm,
+                                  lowmem_gn=cfg.lowmem_groupnorm,
                           dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
 
         # --- ControlNet residual injection (unet.py:1009-1022) ---
@@ -418,6 +432,7 @@ class UNet2DConditionModel(nn.Module):
                 h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, cfg.norm_eps,
                                   fused_gn=cfg.fused_groupnorm,
+                                  lowmem_gn=cfg.lowmem_groupnorm,
                                   dtype=self.dtype,
                                   name=f"up_blocks_{bi}_resnets_{li}")(h, emb)
                 if btype == "CrossAttnUpBlock2D":

@@ -337,3 +337,46 @@ def test_transformer_block_parity_structured():
     out = BasicTransformerBlock(dim, heads, ctx_dim).apply(
         {"params": params}, jnp.asarray(x.numpy()), jnp.asarray(ctx.numpy()))
     report_correctness(np.asarray(out), ref, "transformer_block.structured")
+
+
+def test_lowmem_groupnorm_param_tree_and_numerics():
+    """lowmem_groupnorm (stats reduced from compute dtype, no f32 tensor
+    materialization — ops/groupnorm.group_norm_silu_lowmem) must keep the
+    exact param tree and match the standard path numerically."""
+    cfg = TINY_SD
+    lm_cfg = dataclasses.replace(cfg, lowmem_groupnorm=True)
+    model = UNet2DConditionModel(cfg)
+    lm = UNet2DConditionModel(lm_cfg)
+    sample, t, ctx, _ = _tiny_inputs(cfg)
+    params = model.init(jax.random.key(0), sample, t, ctx)["params"]
+    lm_params = lm.init(jax.random.key(0), sample, t, ctx)["params"]
+    ka = {jax.tree_util.keystr(p) for p, _ in
+          jax.tree_util.tree_leaves_with_path(params)}
+    kb = {jax.tree_util.keystr(p) for p, _ in
+          jax.tree_util.tree_leaves_with_path(lm_params)}
+    assert ka == kb
+    ref = model.apply({"params": params}, sample, t, ctx)
+    out = lm.apply({"params": params}, sample, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_lowmem_groupnorm_op_vs_flax():
+    """Direct op check incl. bf16: E[x^2]-E[x]^2 stats from bf16 squares
+    stay within bf16 output quantization of flax's f32-promoted stats."""
+    import flax.linen as nn
+    from ml_stable_diffusion_tpu.ops.groupnorm import group_norm_silu_lowmem
+
+    rng = np.random.RandomState(0)
+    for dtype, min_psnr in ((jnp.float32, 100.0), (jnp.bfloat16, 55.0)):
+        x = jnp.asarray(rng.randn(2, 16, 16, 64) * 2 + 0.5, dtype)
+        gamma = jnp.asarray(rng.randn(64).astype(np.float32) * 0.5 + 1)
+        beta = jnp.asarray(rng.randn(64).astype(np.float32) * 0.3)
+        gn = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=dtype)
+        ref = np.asarray(nn.silu(gn.apply(
+            {"params": {"scale": gamma, "bias": beta}}, x)), np.float32)
+        out = np.asarray(group_norm_silu_lowmem(x, gamma, beta, 8, 1e-5),
+                         np.float32)
+        mse = np.mean((ref - out) ** 2)
+        psnr = 10 * np.log10(ref.max() ** 2 / max(mse, 1e-20))
+        assert psnr > min_psnr, (dtype, psnr)
