@@ -33,24 +33,35 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                  scale, kv_len, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
+                  scale, kv_len, block_k, d_out):
+    """Online-softmax tile, two VPU-economies vs the textbook form:
+
+    - base-2 softmax: the logit scale folds log2(e) in, so the exponent is
+      a raw ``exp2`` and the per-element multiply by 1/ln2 disappears from
+      the (Bq, Bk) tile (the reference uses the same exp2 trick for its
+      quantization-friendly softmax, attention.py:9-21);
+    - the softmax normalizer rides the PV matmul as an extra ones-column of
+      V (D 64 -> 65 stays inside one 128-wide MXU pass), replacing a
+      full-tile VPU row-sum with a free MXU column — and making the
+      normalizer numerically consistent with the numerator (both sum the
+      SAME bf16-rounded probabilities).
+    """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0]
+    v = v_ref[0]  # (Bk, D+1): last column is ones (padded by the wrapper)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (Bq, Bk)
+        preferred_element_type=jnp.float32) * scale  # (Bq, Bk), base-2 logits
 
     if kv_len % block_k != 0:
         # mask the padded KV tail (cross-attention 77 -> 128)
@@ -60,21 +71,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     m_prev = m_ref[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    correction = jnp.exp(m_prev - m_new)
-
-    l_ref[:] = correction * l_ref[:] + jnp.broadcast_to(
-        jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+    p = jnp.exp2(s - m_new)
+    correction = jnp.exp2(m_prev - m_new)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)  # (Bq, D+1): [:, D] = sum(p)
     acc_ref[:] = correction * acc_ref[:] + pv
 
     @pl.when(j == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:, :d_out]
+                    / acc_ref[:, d_out:d_out + 1]).astype(o_ref.dtype)
 
 
 def _pick_block(s: int, preferred: int) -> int:
@@ -88,35 +97,36 @@ def _pick_block(s: int, preferred: int) -> int:
                                              "interpret"))
 def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
                 interpret: bool = False):
-    """q (BH, Sq, D), k/v (BH, Sk_padded, D) -> (BH, Sq, D).
+    """q (BH, Sq, D), k (BH, Sk_padded, D), v (BH, Sk_padded, D+1) with a
+    trailing ones-column (see ``_flash_kernel``) -> (BH, Sq, D).
 
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (CPU-testable: the masking/online-softmax logic is executed line by
     line without a TPU)."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
-    scale = D ** -0.5
+    Dv = v.shape[2]  # D + 1 (ones column)
+    scale = D ** -0.5 * 1.4426950408889634  # fold log2(e): base-2 softmax
     grid = (BH, Sq // block_q, Sk // block_k)
 
     return pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k),
+                          block_k=block_k, d_out=D),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0),
+            pl.BlockSpec((1, block_k, Dv), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),  # running normalizer
-            pltpu.VMEM((block_q, D), jnp.float32),    # output accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max (base 2)
+            pltpu.VMEM((block_q, Dv), jnp.float32),   # output + normalizer
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -165,5 +175,8 @@ def flash_attention(q, k, v, bias=None, causal=False,
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    # ones column rides the PV matmul as the softmax normalizer (padded KV
+    # rows get masked logits, so their ones never contribute)
+    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len)
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)

@@ -37,6 +37,7 @@ def _flash_interpret(q, k, v, block_q=256, block_k=128):
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len, interpret=True)
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
