@@ -13,8 +13,12 @@ from typing import Any, Sequence
 
 @dataclasses.dataclass
 class PipelineConfiguration:
-    prompt: str = ""
-    negative_prompt: str = ""
+    #: one prompt for all image_count images (reference semantics), or a
+    #: list of image_count prompts — batched serving of independent
+    #: requests in one program (beyond the reference, which rejects
+    #: batch>1 prompts, pipeline.py:434-438)
+    prompt: str | Sequence[str] = ""
+    negative_prompt: str | Sequence[str] = ""
 
     #: img2img input: PIL image or NHWC float array in [-1, 1]
     starting_image: Any | None = None
@@ -22,7 +26,10 @@ class PipelineConfiguration:
 
     image_count: int = 1
     step_count: int = 50
-    seed: int = 0
+    #: one seed (the batch shares one stream, reference semantics) or a
+    #: list of image_count seeds — each image reproduces its own seed's
+    #: stream (per-request seeds under batched serving)
+    seed: int | Sequence[int] = 0
     guidance_scale: float = 7.5
 
     #: SDXL ensemble-of-denoisers handoff point (0..1 fraction of steps)

@@ -233,7 +233,31 @@ class StableDiffusionPipeline:
 
     # -- text ------------------------------------------------------------------
 
+    @staticmethod
+    def _prompt_lists(cfg: PipelineConfiguration):
+        """-> (negatives, positives) as equal-length lists.
+
+        ``prompt``/``negative_prompt`` may be a single string (reference
+        semantics: one prompt for all image_count images) or a list of
+        image_count strings (batched serving: one prompt per image —
+        beyond the reference, which rejects batch>1, pipeline.py:434-438).
+        A multi-prompt batch encodes rows [neg_0..neg_{N-1}, pos_0..pos_{N-1}]
+        so CFG splits stay two contiguous halves."""
+        multi = isinstance(cfg.prompt, (list, tuple))
+        pos = list(cfg.prompt) if multi else [cfg.prompt]
+        if isinstance(cfg.negative_prompt, (list, tuple)):
+            neg = list(cfg.negative_prompt)
+        else:
+            neg = [cfg.negative_prompt] * len(pos)
+        if multi and len(pos) != cfg.image_count:
+            raise ValueError(
+                f"prompt list length {len(pos)} != image_count {cfg.image_count}")
+        if len(neg) != len(pos):
+            raise ValueError("negative_prompt list length must match prompt")
+        return neg, pos
+
     def _tokenize(self, cfg: PipelineConfiguration) -> dict[str, np.ndarray]:
+        neg, pos = self._prompt_lists(cfg)
         if self.multilingual_encoder is not None:
             from ..models.multilingual import EMBED_DIM, MAX_SEQUENCE_LENGTH
 
@@ -248,11 +272,10 @@ class StableDiffusionPipeline:
                 return np.pad(e, ((0, MAX_SEQUENCE_LENGTH - e.shape[0]),
                                   (0, 0)))
 
-            return {"ml_embeds": np.stack([embed(cfg.negative_prompt),
-                                           embed(cfg.prompt)])}
-        pos, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
-        neg, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
-        return {"ids": np.stack([neg, pos])}
+            return {"ml_embeds": np.stack([embed(t) for t in neg + pos])}
+        rows = [self.tokenizer.tokenize(t, max_length=TEXT_LEN)[0]
+                for t in neg + pos]
+        return {"ids": np.stack(rows)}
 
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
@@ -356,12 +379,21 @@ class StableDiffusionPipeline:
         """-> list of (start, end, unet_caller).  One phase for plain SD."""
         return [(0, num_steps, self._call_unet)]
 
+    @staticmethod
+    def _split_neg_pos(t, N: int):
+        """(2, ...) single-prompt rows broadcast to N images; (2N, ...)
+        multi-prompt rows split into contiguous halves."""
+        if t.shape[0] == 2 and N != 1:
+            return (jnp.repeat(t[0:1], N, axis=0),
+                    jnp.repeat(t[1:2], N, axis=0))
+        half = t.shape[0] // 2
+        return t[:half], t[half:]
+
     def _phase_conditioning(self, cfg, text, N, call_unet):
         """-> (ctx_neg, ctx_pos, added_neg, added_pos) for the phase whose
         denoiser is ``call_unet``."""
-        ctx = text["context"]
-        return (jnp.repeat(ctx[0:1], N, axis=0),
-                jnp.repeat(ctx[1:2], N, axis=0), None, None)
+        ctx_neg, ctx_pos = self._split_neg_pos(text["context"], N)
+        return ctx_neg, ctx_pos, None, None
 
     # -- latents ---------------------------------------------------------------
 
@@ -376,6 +408,35 @@ class StableDiffusionPipeline:
             return None
         src = make_random_source(cfg.rng, cfg.seed)
         return nchw_to_nhwc(src.normal(shape_nchw)).astype(np.float32)
+
+    def _per_seed_noise(self, cfg: PipelineConfiguration, seeds, hw,
+                        num_noise_steps: int):
+        """(init_noise (N,h,w,C), step_noises (steps,N,h,w,C)|None) where
+        image i's rows come from seed[i]'s own stream (jax mode: per-seed
+        fold_in draws; parity modes: each seed's generator stream)."""
+        h, w = hw
+        C = self.latent_channels
+        if cfg.rng == "jax":
+            def draw(s, idx):
+                key = jax.random.fold_in(jax.random.key(s), idx)
+                return np.asarray(jax.random.normal(key, (1, h, w, C),
+                                                    jnp.float32))
+
+            init = np.concatenate([draw(s, 0) for s in seeds])
+            steps = (np.stack([np.concatenate([draw(s, 1000 + i)
+                                               for s in seeds])
+                               for i in range(num_noise_steps)])
+                     if num_noise_steps else None)
+            return init, steps
+        srcs = [make_random_source(cfg.rng, s) for s in seeds]
+        init = np.concatenate([
+            nchw_to_nhwc(src.normal((1, C, h, w))).astype(np.float32)
+            for src in srcs])
+        steps = (np.stack([np.concatenate([
+            nchw_to_nhwc(src.normal((1, C, h, w))).astype(np.float32)
+            for src in srcs]) for _ in range(num_noise_steps)])
+            if num_noise_steps else None)
+        return init, steps
 
     # -- program construction ----------------------------------------------------
 
@@ -647,17 +708,30 @@ class StableDiffusionPipeline:
         prog = self._programs[key]
 
         token_ids = {k: jnp.asarray(v) for k, v in self._tokenize(cfg).items()}
-        rng_key = jax.random.key(cfg.seed)
-
-        init_noise = self._initial_noise(cfg, (N, self.latent_channels, h, w))
-        step_noises = None
-        if scheduler.needs_noise and init_noise is not None:
-            src = make_random_source(cfg.rng, cfg.seed)
-            # regenerate the initial draw so per-step draws continue the stream
-            src.normal((N, self.latent_channels, h, w))
-            step_noises = np.stack([
-                nchw_to_nhwc(src.normal((N, self.latent_channels, h, w)))
-                for _ in range(plan.num_steps)])
+        C = self.latent_channels
+        if isinstance(cfg.seed, (list, tuple)):
+            # per-image seeds (batched serving: independent requests share
+            # one program; each image reproduces its own seed's stream)
+            seeds = list(cfg.seed)
+            if len(seeds) != N:
+                raise ValueError(
+                    f"seed list length {len(seeds)} != image_count {N}")
+            rng_key = jax.random.key(seeds[0])
+            init_noise, step_noises = self._per_seed_noise(
+                cfg, seeds, (h, w), plan.num_steps if scheduler.needs_noise
+                else 0)
+        else:
+            rng_key = jax.random.key(cfg.seed)
+            init_noise = self._initial_noise(cfg, (N, C, h, w))
+            step_noises = None
+            if scheduler.needs_noise and init_noise is not None:
+                src = make_random_source(cfg.rng, cfg.seed)
+                # regenerate the initial draw so per-step draws continue the
+                # stream
+                src.normal((N, C, h, w))
+                step_noises = np.stack([
+                    nchw_to_nhwc(src.normal((N, C, h, w)))
+                    for _ in range(plan.num_steps)])
 
         ds = self.vae_downscale
         init_image = jnp.zeros((N, h * ds, w * ds, 3), jnp.float32)

@@ -61,18 +61,20 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     # -- text --------------------------------------------------------------------
 
     def _tokenize(self, cfg: PipelineConfiguration):
-        pos1, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
-        neg1, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
-        pos2, _ = self.tokenizer2.tokenize(cfg.prompt, max_length=TEXT_LEN)
-        neg2, _ = self.tokenizer2.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
-        out = {"ids": np.stack([neg1, pos1]), "ids2": np.stack([neg2, pos2])}
+        neg, pos = self._prompt_lists(cfg)
+        out = {
+            "ids": np.stack([self.tokenizer.tokenize(t, max_length=TEXT_LEN)[0]
+                             for t in neg + pos]),
+            "ids2": np.stack([
+                self.tokenizer2.tokenize(t, max_length=TEXT_LEN)[0]
+                for t in neg + pos]),
+        }
         if self.t5_encoder is not None:
             L = self.t5_sequence_length
-            pos_t5, pos_m = self.t5_tokenizer.tokenize(cfg.prompt, max_length=L)
-            neg_t5, neg_m = self.t5_tokenizer.tokenize(cfg.negative_prompt,
-                                                       max_length=L)
-            out["ids_t5"] = np.stack([neg_t5, pos_t5])
-            out["mask_t5"] = np.stack([neg_m, pos_m])
+            rows = [self.t5_tokenizer.tokenize(t, max_length=L)
+                    for t in neg + pos]
+            out["ids_t5"] = np.stack([r[0] for r in rows])
+            out["mask_t5"] = np.stack([r[1] for r in rows])
         return out
 
     def _params_bundle(self) -> dict:
@@ -120,12 +122,10 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
                                context, added_cond["pooled"])
 
     def _phase_conditioning(self, cfg, text, N, call_unet):
-        ctx = text["context"]
-        pooled = text["pooled"]
-        return (jnp.repeat(ctx[0:1], N, axis=0),
-                jnp.repeat(ctx[1:2], N, axis=0),
-                {"pooled": jnp.repeat(pooled[0:1], N, axis=0)},
-                {"pooled": jnp.repeat(pooled[1:2], N, axis=0)})
+        ctx_neg, ctx_pos = self._split_neg_pos(text["context"], N)
+        pooled_neg, pooled_pos = self._split_neg_pos(text["pooled"], N)
+        return (ctx_neg, ctx_pos,
+                {"pooled": pooled_neg}, {"pooled": pooled_pos})
 
     def _conditioning_cache_key(self, cfg):
         return (self.t5_encoder is not None,)

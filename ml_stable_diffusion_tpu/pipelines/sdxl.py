@@ -45,17 +45,18 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
     # -- text -----------------------------------------------------------------
 
     def _tokenize(self, cfg: PipelineConfiguration):
+        neg, pos = self._prompt_lists(cfg)
         out = {}
         if self.text_encoder is not None:
-            pos1, _ = self.tokenizer.tokenize(cfg.prompt, max_length=TEXT_LEN)
-            neg1, _ = self.tokenizer.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
-            out["ids"] = np.stack([neg1, pos1])
-        pos2, _ = self.tokenizer2.tokenize(cfg.prompt, max_length=TEXT_LEN)
-        neg2, _ = self.tokenizer2.tokenize(cfg.negative_prompt, max_length=TEXT_LEN)
-        out["ids2"] = np.stack([neg2, pos2])
+            out["ids"] = np.stack([
+                self.tokenizer.tokenize(t, max_length=TEXT_LEN)[0]
+                for t in neg + pos])
+        out["ids2"] = np.stack([
+            self.tokenizer2.tokenize(t, max_length=TEXT_LEN)[0]
+            for t in neg + pos])
         # static flag: zero out empty negative embeddings (pipeline.py:183-187)
         out["zero_negative"] = np.asarray(
-            self.force_zeros_for_empty_prompt and cfg.negative_prompt == "")
+            self.force_zeros_for_empty_prompt and all(t == "" for t in neg))
         return out
 
     def _params_bundle(self) -> dict:
@@ -87,8 +88,9 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             ctx = ctx2
         zero_neg = token_inputs["zero_negative"]
         neg_mask = jnp.where(zero_neg, 0.0, 1.0)
-        ctx = ctx.at[0].multiply(neg_mask)
-        pooled = pooled.at[0].multiply(neg_mask)
+        half = ctx.shape[0] // 2  # negative rows are the first half
+        ctx = ctx.at[:half].multiply(neg_mask)
+        pooled = pooled.at[:half].multiply(neg_mask)
         return {"context": ctx, "context2": ctx2, "pooled": pooled}
 
     # -- phases -----------------------------------------------------------------
@@ -118,9 +120,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         is_refiner = call_unet == self._call_refiner
 
         ctx = text["context2"] if is_refiner else text["context"]
-        ctx_neg = jnp.repeat(ctx[0:1], N, axis=0)
-        ctx_pos = jnp.repeat(ctx[1:2], N, axis=0)
-        pooled = text["pooled"]
+        ctx_neg, ctx_pos = self._split_neg_pos(ctx, N)
+        pooled_neg, pooled_pos = self._split_neg_pos(text["pooled"], N)
 
         osz = cfg.original_size or (1024, 1024)
         tsz = cfg.target_size or (1024, 1024)
@@ -138,13 +139,12 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             jnp.asarray(ids_pos, jnp.float32), (N, len(ids_pos)))
         time_ids_neg = jnp.broadcast_to(
             jnp.asarray(ids_neg, jnp.float32), (N, len(ids_neg)))
-        added_neg = {"text_embeds": jnp.repeat(pooled[0:1], N, axis=0),
-                     "time_ids": time_ids_neg}
-        added_pos = {"text_embeds": jnp.repeat(pooled[1:2], N, axis=0),
-                     "time_ids": time_ids_pos}
+        added_neg = {"text_embeds": pooled_neg, "time_ids": time_ids_neg}
+        added_pos = {"text_embeds": pooled_pos, "time_ids": time_ids_pos}
         return ctx_neg, ctx_pos, added_neg, added_pos
 
     def _conditioning_cache_key(self, cfg):
+        neg, _ = self._prompt_lists(cfg)
         return (cfg.original_size, cfg.target_size, cfg.crops_coords_top_left,
                 cfg.aesthetic_score, cfg.negative_aesthetic_score,
-                round(cfg.refiner_start, 4), cfg.negative_prompt == "")
+                round(cfg.refiner_start, 4), all(t == "" for t in neg))

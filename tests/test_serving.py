@@ -38,3 +38,86 @@ def test_serving_precompile_and_concurrent_requests(tmp_path):
     stats = server.stats()
     assert stats["requests_served"] == 4
     assert stats["e2e_latency_median_s"] > 0
+
+
+def _tiny_pipe(tmp_path):
+    tok = tiny_tokenizer(tmp_path)
+    dec, enc = tiny_vae()
+    return StableDiffusionPipeline(tokenizer=tok,
+                                   text_encoder=tiny_text_encoder(),
+                                   unet=tiny_unet(), vae_decoder=dec,
+                                   vae_encoder=enc)
+
+
+def test_multi_prompt_batch_matches_singles(tmp_path):
+    """One batched program with per-image prompts+seeds must reproduce each
+    request's single-image generation (the contract dynamic batching
+    relies on)."""
+    pipe = _tiny_pipe(tmp_path)
+
+    def single(prompt, seed):
+        return pipe.generate_images(PipelineConfiguration(
+            prompt=prompt, seed=seed, step_count=3, scheduler="DDIM",
+            disable_safety=True), image_hw=(64, 64)).latents
+
+    a = single("a cat", 7)
+    b = single("a dog on a hill", 11)
+    batched = pipe.generate_images(PipelineConfiguration(
+        prompt=["a cat", "a dog on a hill"], seed=[7, 11], image_count=2,
+        step_count=3, scheduler="DDIM", disable_safety=True),
+        image_hw=(64, 64)).latents
+    np.testing.assert_allclose(batched[0:1], a, atol=2e-4)
+    np.testing.assert_allclose(batched[1:2], b, atol=2e-4)
+    # ancestral scheduler: per-seed step noise streams
+    a2 = single("a cat", 7)  # warm cache irrelevant; just check finite path
+    anc = pipe.generate_images(PipelineConfiguration(
+        prompt=["a cat", "a dog"], seed=[7, 11], image_count=2,
+        step_count=3, scheduler="EulerAncestral", disable_safety=True),
+        image_hw=(64, 64)).latents
+    assert np.isfinite(anc).all()
+    assert np.abs(anc[0] - anc[1]).max() > 1e-6
+
+
+def test_multi_prompt_validation(tmp_path):
+    pipe = _tiny_pipe(tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError, match="image_count"):
+        pipe.generate_images(PipelineConfiguration(
+            prompt=["a", "b"], image_count=3, step_count=1,
+            disable_safety=True), image_hw=(64, 64))
+    with pytest.raises(ValueError, match="seed list"):
+        pipe.generate_images(PipelineConfiguration(
+            prompt="a", seed=[1, 2, 3], image_count=2, step_count=1,
+            disable_safety=True), image_hw=(64, 64))
+
+
+def test_dynamic_batching_coalesces_and_matches(tmp_path):
+    """Concurrent submits with compatible shapes run as ONE batched program
+    and each future's result matches its direct generation."""
+    pipe = _tiny_pipe(tmp_path)
+    server = GenerationServer(pipe, max_batch=4, batch_window_s=1.0)
+
+    def cfg(prompt, seed):
+        return PipelineConfiguration(prompt=prompt, seed=seed, step_count=2,
+                                     scheduler="DDIM", disable_safety=True)
+
+    futs = [server.submit(cfg(p, s), image_hw=(64, 64))
+            for p, s in [("a cat", 1), ("a dog", 2), ("a fish", 3)]]
+    results = [f.result(timeout=600) for f in futs]
+    assert server.batches_run == 1
+    assert server.requests_served == 3
+    for r in results:
+        assert len(r.images) == 1 and r.latents.shape[0] == 1
+
+    direct = pipe.generate_images(cfg("a dog", 2), image_hw=(64, 64))
+    np.testing.assert_allclose(results[1].latents, direct.latents, atol=2e-4)
+
+    # incompatible request (img2img) falls back to the direct path
+    img = np.zeros((1, 64, 64, 3), np.float32)
+    f = server.submit(PipelineConfiguration(
+        prompt="x", seed=5, step_count=2, scheduler="DDIM",
+        disable_safety=True, starting_image=img, strength=0.5),
+        image_hw=(64, 64))
+    assert np.isfinite(f.result(timeout=600).latents).all()
+    server.shutdown()
