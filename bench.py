@@ -22,6 +22,11 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
 
 import jax
+
+# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
+# JAX_PLATFORMS) — the persistent cache only engages via jax.config
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
 
 from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
@@ -140,12 +145,38 @@ def bench_palettized6(parts) -> dict:
     }
 
 
+def bench_batch4(parts, single_iter_s: float) -> dict:
+    """Dynamic-batching serving throughput: 4 coalesced single-image
+    requests (CFG batch 8) through one scan — the program
+    GenerationServer.submit runs for 4 concurrent users (serving.py)."""
+    cfg, params, make_scan, _, _ = parts
+    denoise = jax.jit(make_scan(lambda p: p))
+    h = w = 64
+    ctx8 = jax.random.normal(jax.random.key(3),
+                             (8, 77, cfg.cross_attention_dim), jnp.float32)
+
+    def fresh4(i):
+        return jax.random.normal(jax.random.key(200 + i), (4, h, w, 4),
+                                 jnp.float32)
+
+    best = _time_best(lambda lat: denoise(params, lat, ctx8), fresh4)
+    return {
+        "serve_batch4_e2e_s": round(best, 3),
+        # throughput multiple vs 4 serial single-image runs
+        "serve_batch4_speedup": round((4 * STEPS / single_iter_s) / best, 2),
+    }
+
+
 def main():
     parts = _sd21_parts()
     iters_per_s = bench_sd21(parts)
 
     extra = {}
     if os.environ.get("SDTPU_BENCH_EXTRAS", "1") != "0":
+        try:
+            extra.update(bench_batch4(parts, iters_per_s))
+        except Exception as e:
+            extra["batch4_error"] = f"{type(e).__name__}: {e}"[:200]
         try:
             extra.update(bench_palettized6(parts))
         except Exception as e:  # never lose the headline metric
@@ -169,6 +200,12 @@ def main():
                                               2)
         except Exception as e:
             extra["sdxl_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            import bench_sd3
+
+            extra["sd3_1024_e2e_s"] = round(bench_sd3.run(), 3)
+        except Exception as e:
+            extra["sd3_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "SD-2.1-base 512x512 diffusion speed (CFG batch 2, 20 steps, DPM++ 2M)",

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Secondary benchmark: SD3-medium 1024x1024 end-to-end latency on one chip.
+
+E2E = dual CLIP text encode + 20-step CFG rectified-flow denoise (MMDiT)
++ 16-channel VAE decode, real SD3-medium dimensions with random bf16
+weights (speed is weight-value independent).  Runs the no-T5 variant the
+reference also supports (a zero T5 block substitutes for the encoder,
+StableDiffusion3Pipeline.swift:219) — T5-XXL adds one 4.7B-param encode
+outside the denoise loop.
+
+The reference publishes no SD3 device numbers; its test harness's latency
+gate (90 s, test_stable_diffusion.py:33-37) is the baseline stand-in.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
+
+import jax
+
+# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
+# JAX_PLATFORMS) — the persistent cache only engages via jax.config
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+import jax.numpy as jnp
+
+from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+from ml_stable_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
+from ml_stable_diffusion_tpu.schedulers import DiscreteFlowScheduler
+
+STEPS = 20
+GUIDANCE = 4.5
+T5_LEN = 77  # zero block: context = 77 CLIP + 77 T5 positions (:224-240)
+BASELINE_E2E_S = 90.0  # reference harness latency gate; no published SD3 numbers
+
+
+def _random_params(model, *args, dtype=jnp.bfloat16):
+    shapes = jax.eval_shape(lambda k: model.init(k, *args),
+                            jax.random.key(0))["params"]
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
+
+
+def run() -> float:
+    """-> best e2e seconds (importable from bench.py for the driver run)."""
+    h = w = 128  # 1024 / 8, 16 latent channels
+
+    mcfg = MMDiTConfig.sd3_medium()
+    mmdit = MMDiT(mcfg, dtype=jnp.bfloat16)
+    ctx_len = 77 + T5_LEN
+    mparams = _random_params(
+        mmdit, jnp.zeros((2, h, w, 16)), jnp.zeros((2,)),
+        jnp.zeros((2, ctx_len, mcfg.context_dim)),
+        jnp.zeros((2, mcfg.pooled_dim)))
+
+    te1 = CLIPTextEncoder(CLIPTextConfig.sd1(), dtype=jnp.bfloat16)
+    te1_params = _random_params(te1, jnp.zeros((2, 77), jnp.int32))
+    te2 = CLIPTextEncoder(CLIPTextConfig.sdxl_g(), dtype=jnp.bfloat16)
+    te2_params = _random_params(te2, jnp.zeros((2, 77), jnp.int32))
+
+    vae = VAEDecoder(VAEConfig.sd3(), dtype=jnp.bfloat16)
+    vparams = _random_params(vae, jnp.zeros((1, h, w, 16)))
+
+    sched = DiscreteFlowScheduler(shift=3.0)
+    plan = sched.set_timesteps(STEPS)
+
+    @jax.jit
+    def e2e(mparams, te1_params, te2_params, vparams, ids, latents):
+        o1 = te1.apply({"params": te1_params}, ids)
+        o2 = te2.apply({"params": te2_params}, ids)
+        clip_ctx = jnp.concatenate([o1["penultimate_hidden_state"],
+                                    o2["penultimate_hidden_state"]], axis=-1)
+        pad = mcfg.context_dim - clip_ctx.shape[-1]
+        clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        t5_zero = jnp.zeros((2, T5_LEN, mcfg.context_dim), clip_ctx.dtype)
+        ctx = jnp.concatenate([clip_ctx, t5_zero], axis=1)
+        pooled = jnp.concatenate([o1["pooled_output"], o2["pooled_output"]],
+                                 axis=-1)
+        state = sched.initial_state(plan, latents.shape)
+
+        def step(carry, i):
+            lat, st = carry
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            vel = mmdit.apply({"params": mparams}, lat2, plan.timesteps[i],
+                              ctx, pooled)
+            neg, pos = jnp.split(vel, 2, axis=0)
+            guided = neg + GUIDANCE * (pos - neg)
+            st, lat = sched.step(plan, st, guided, i, lat)
+            return (lat, st), None
+
+        (lat, _), _ = jax.lax.scan(step, (latents, state),
+                                   jnp.arange(plan.num_steps))
+        return vae.apply({"params": vparams}, lat / 1.5305 + 0.0609)
+
+    ids = jnp.zeros((2, 77), jnp.int32)
+
+    def fresh(i):
+        return jax.random.normal(jax.random.key(i), (1, h, w, 16),
+                                 jnp.float32)
+
+    e2e(mparams, te1_params, te2_params, vparams, ids,
+        fresh(0)).block_until_ready()
+
+    times = []
+    for i in range(3):
+        lat = fresh(i + 1)
+        lat.block_until_ready()
+        t0 = time.perf_counter()
+        e2e(mparams, te1_params, te2_params, vparams, ids,
+            lat).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    best = run()
+    print(json.dumps({
+        "metric": "SD3-medium 1024x1024 end-to-end latency "
+                  "(dual CLIP encode + 20 flow steps CFG + 16ch VAE decode)",
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_E2E_S / best, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,11 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
 
 import jax
+
+# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
+# JAX_PLATFORMS) — the persistent cache only engages via jax.config
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
 
 from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder

@@ -65,12 +65,12 @@ def _flash_qualifies(q, k) -> bool:
         return False
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    # blockwise kernel wants MXU-aligned query tiles and enough rows to
-    # pipeline.  Short-KV cross attention (77 text tokens) measures FASTER on
-    # the XLA path: the flash kernel's per-tile overhead + BSHD->BHSD layout
-    # copies outweigh the saved logits traffic at Sk<=128 (bench.py ablation:
-    # 45.4 vs 47.5 iter/s on SD-2.1 512x512).
-    return Sq >= 256 and Sq % 128 == 0 and D <= 256 and Sk >= 256
+    # Short-KV cross attention (77 text tokens) measures FASTER on the XLA
+    # path: the flash kernel's per-tile overhead + BSHD->BHSD layout copies
+    # outweigh the saved logits traffic at Sk<=128 (bench.py ablation: 45.4
+    # vs 47.5 iter/s on SD-2.1 512x512).  Ragged Sq is fine — the wrapper
+    # pads the query axis (MMDiT joint attention, 4096+154 rows).
+    return Sq >= 256 and D <= 256 and Sk >= 256
 
 
 def dot_product_attention(q, k, v, bias=None, causal=False,

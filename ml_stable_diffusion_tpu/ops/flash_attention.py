@@ -135,10 +135,11 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
     )(q, k, v)
 
 
-#: tile sizes, env-tunable for sweeps (bench ablations: 1024x1024 beats
-#: 512x512 by 12% on SD-2.1 512^2; 2048/4096 variants are within noise)
+#: tile sizes, env-tunable for sweeps.  r2 sweep on the matmul-normalizer
+#: kernel (SD-2.1 512^2 iter/s): 1024/2048 = 54.55, 2048/1024 = 54.51,
+#: 1024/1024 = 54.22, 512/4096 = 53.72 (r1: 1024x1024 beat 512x512 by 12%)
 _DEFAULT_BQ = int(os.environ.get("SDTPU_FLASH_BQ", 1024))
-_DEFAULT_BK = int(os.environ.get("SDTPU_FLASH_BK", 1024))
+_DEFAULT_BK = int(os.environ.get("SDTPU_FLASH_BK", 2048))
 
 
 def flash_attention(q, k, v, bias=None, causal=False,
@@ -152,11 +153,19 @@ def flash_attention(q, k, v, bias=None, causal=False,
     Sk = k.shape[1]
     block_q = _DEFAULT_BQ if block_q is None else block_q
     block_k = _DEFAULT_BK if block_k is None else block_k
+    # pad queries up to a 128 multiple (MMDiT joint attention: 4096 latent +
+    # 154 context = 4250 rows).  Padded rows attend over real KV and produce
+    # finite garbage that is sliced off — no masking needed on the Q axis.
+    q_len = Sq
+    qpad = (-Sq) % 128
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+        Sq += qpad
     bq = _pick_block(Sq, block_q)
     if bias is not None or causal or bq < 128:
         from .attention import _xla_attention
 
-        return _xla_attention(q, k, v, bias=bias, causal=causal)
+        return _xla_attention(q[:, :q_len], k, v, bias=bias, causal=causal)
 
     # pad KV up to a 128 multiple (cross-attention: 77 text tokens -> 128)
     kv_len = Sk
@@ -179,4 +188,5 @@ def flash_attention(q, k, v, bias=None, causal=False,
     # rows get masked logits, so their ones never contribute)
     vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len)
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out[:, :q_len] if qpad else out

@@ -32,6 +32,11 @@ def _flash_interpret(q, k, v, block_q=256, block_k=128):
         k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Sk = k.shape[1]
+    q_len = Sq
+    qpad = (-Sq) % 128  # ragged query axis (MMDiT joint attention)
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+        Sq += qpad
     bq = _pick_block(Sq, block_q)
     bk = _pick_block(Sk, block_k)
     qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
@@ -39,7 +44,7 @@ def _flash_interpret(q, k, v, block_q=256, block_k=128):
     vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len, interpret=True)
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)[:, :q_len]
 
 
 @pytest.mark.parametrize("sq,sk,dtype", [
@@ -48,6 +53,7 @@ def _flash_interpret(q, k, v, block_q=256, block_k=128):
     (256, 256, jnp.float32),    # self-attention, single KV tile
     (1024, 1024, jnp.bfloat16),  # multi-tile online softmax
     (512, 200, jnp.float32),    # padded multi-of-8 KV (200 -> 256)
+    (330, 330, jnp.float32),    # ragged Sq AND Sk (MMDiT joint attention)
 ])
 def test_flash_kernel_matches_xla(sq, sk, dtype):
     B, H, D = 2, 3, 64
