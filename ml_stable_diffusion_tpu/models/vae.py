@@ -22,6 +22,8 @@ import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.attention import dot_product_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -87,11 +89,12 @@ class VAEAttentionBlock(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
         v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k,
-                            preferred_element_type=jnp.float32) * (C ** -0.5)
-        w = nn.softmax(logits, axis=-1)
-        h = jnp.einsum("bqk,bkc->bqc", w.astype(x.dtype), v,
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # single head of width C=512 through the shared dispatch: on TPU the
+        # flash kernel streams KV tiles instead of materializing the
+        # (HW, HW) fp32 logits tensor — 1 GiB at 1024x1024 decode (HW=16384),
+        # and the difference between decoding and OOMing beyond ~1536x1536
+        h = dot_product_attention(q[:, :, None, :], k[:, :, None, :],
+                                  v[:, :, None, :])[:, :, 0, :]
         h = nn.Dense(C, dtype=self.dtype, name="to_out_0")(h)
         return x + h.reshape(B, H, W, C)
 

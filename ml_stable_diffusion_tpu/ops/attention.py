@@ -19,9 +19,13 @@ from __future__ import annotations
 
 import enum
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+#: flash dispatch threshold on KV length (ablation knob; see _flash_qualifies)
+_FLASH_MIN_SK = int(os.environ.get("SDTPU_FLASH_MIN_SK", 256))
 
 
 class AttentionImpl(str, enum.Enum):
@@ -69,8 +73,10 @@ def _flash_qualifies(q, k) -> bool:
     # path: the flash kernel's per-tile overhead + BSHD->BHSD layout copies
     # outweigh the saved logits traffic at Sk<=128 (bench.py ablation: 45.4
     # vs 47.5 iter/s on SD-2.1 512x512).  Ragged Sq is fine — the wrapper
-    # pads the query axis (MMDiT joint attention, 4096+154 rows).
-    return Sq >= 256 and D <= 256 and Sk >= 256
+    # pads the query axis (MMDiT joint attention, 4096+154 rows).  D up to
+    # 512 covers the VAE's single-head spatial attention (the wrapper picks
+    # VMEM-safe tiles per head width).
+    return Sq >= 256 and D <= 512 and Sk >= _FLASH_MIN_SK
 
 
 def dot_product_attention(q, k, v, bias=None, causal=False,

@@ -32,6 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+#: ablation knob: compute the exponent pass on bf16 vregs (2 lanes/slot —
+#: the (Bq, Bk) transcendental pass at twice the VPU rate).  Measured
+#: NEUTRAL on the headline bench (54.39 vs 54.32-54.55 iter/s, SD-2.1 512²):
+#: the UNet step is conv-emitter-bound, not attention-VPU-bound.  Off by
+#: default; exp2 stays in f32 which is also numerically safer near m_new.
+_EXP_BF16 = os.environ.get("SDTPU_FLASH_EXP_BF16", "0") == "1"
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
                   scale, kv_len, block_k, d_out):
@@ -71,12 +78,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
     m_prev = m_ref[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp2(s - m_new)
+    if _EXP_BF16 and v.dtype == jnp.bfloat16:
+        # exponent on bf16 vregs (2 lanes/slot): the (Bq, Bk) transcendental
+        # pass at twice the rate; p is rounded to bf16 for the MXU anyway
+        p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+    else:
+        p = jnp.exp2(s - m_new).astype(v.dtype)
     correction = jnp.exp2(m_prev - m_new)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Bq, D+1): [:, D] = sum(p)
     acc_ref[:] = correction * acc_ref[:] + pv
 
@@ -151,8 +163,20 @@ def flash_attention(q, k, v, bias=None, causal=False,
     """
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    block_q = _DEFAULT_BQ if block_q is None else block_q
-    block_k = _DEFAULT_BK if block_k is None else block_k
+    if block_q is None or block_k is None:
+        # tile defaults scale down with head width to stay inside the ~16 MB
+        # VMEM budget: transformer heads (D=64) run the tuned 1024x2048
+        # tiles; the VAE's single-head D=512 spatial attention (16384 tokens
+        # at 1024x1024 decode — the XLA path would materialize a 1 GiB fp32
+        # logits tensor) drops to 256x1024
+        if D > 256:
+            dq, dk = 256, 1024
+        elif D > 64:
+            dq, dk = 512, 1024
+        else:
+            dq, dk = _DEFAULT_BQ, _DEFAULT_BK
+        block_q = dq if block_q is None else block_q
+        block_k = dk if block_k is None else block_k
     # pad queries up to a 128 multiple (MMDiT joint attention: 4096 latent +
     # 154 context = 4250 rows).  Padded rows attend over real KV and produce
     # finite garbage that is sliced off — no masking needed on the Q axis.

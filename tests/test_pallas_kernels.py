@@ -68,6 +68,20 @@ def test_flash_kernel_matches_xla(sq, sk, dtype):
     np.testing.assert_allclose(got, ref, atol=atol)
 
 
+def test_flash_kernel_wide_head():
+    """VAE spatial attention: single head of width 512 (models/vae.py routes
+    it through the dispatch so TPU decode never materializes (HW, HW)
+    logits; the ones-column normalizer rides at D_out=513)."""
+    B, H, D = 1, 1, 512
+    kq, kk, kv = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(kq, (B, 256, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, 256, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, 256, H, D), jnp.float32)
+    got = np.asarray(_flash_interpret(q, k, v, block_q=128, block_k=128))
+    ref = np.asarray(_xla_attention(q, k, v))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
 def test_flash_kernel_block_sweep():
     """Block-size selection must not change the result (online softmax is
     exact regardless of tiling)."""
