@@ -71,8 +71,9 @@ def _flash_qualifies(q, k) -> bool:
     Sk = k.shape[1]
     # Short-KV cross attention (77 text tokens) measures FASTER on the XLA
     # path: the flash kernel's per-tile overhead + BSHD->BHSD layout copies
-    # outweigh the saved logits traffic at Sk<=128 (bench.py ablation: 45.4
-    # vs 47.5 iter/s on SD-2.1 512x512).  Ragged Sq is fine — the wrapper
+    # outweigh the saved logits traffic at Sk<=128 (bench.py ablations: 45.4
+    # vs 47.5 r1, re-measured 51.9 vs 54.3 r2 with the matmul-normalizer
+    # kernel — SDTPU_FLASH_MIN_SK=77).  Ragged Sq is fine — the wrapper
     # pads the query axis (MMDiT joint attention, 4096+154 rows).  D up to
     # 512 covers the VAE's single-head spatial attention (the wrapper picks
     # VMEM-safe tiles per head width).

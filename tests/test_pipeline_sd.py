@@ -159,3 +159,11 @@ def test_reduce_memory_stage_bundles_are_minimal(pipe):
     den = pipe._stage_bundle("unet")
     assert "text_encoder" not in den and "unet" in den
     assert "vae_encoder" in pipe._stage_bundle("encode", img2img=True)
+
+
+def test_non_square_size(pipe):
+    """Arbitrary HxW output (reference: static shapes are baked per
+    conversion, pipeline.py:110-117; here any /8-divisible size compiles)."""
+    res = pipe.generate_images(_cfg(seed=11), image_hw=(64, 96))
+    assert res.images[0].size == (96, 64)  # PIL (W, H)
+    assert np.isfinite(res.latents).all()
