@@ -29,6 +29,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
 
+from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
 from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
 
@@ -114,7 +115,7 @@ def _time_best(fn, fresh_latents, repeats=3):
 
 def bench_sd21(parts) -> float:
     _, params, make_scan, context, fresh = parts
-    denoise = jax.jit(make_scan(lambda p: p))
+    denoise = sdtpu_jit(make_scan(lambda p: p))
     best = _time_best(lambda lat: denoise(params, lat, context), fresh)
     return STEPS / best
 
@@ -135,7 +136,7 @@ def bench_palettized6(parts) -> dict:
                          if hasattr(x, "astype") else x,
                          dequantize_tree(tree))
 
-    denoise = jax.jit(make_scan(lambda p: p))
+    denoise = sdtpu_jit(make_scan(lambda p: p))
     best = _time_best(lambda lat: denoise(dense, lat, context), fresh)
     return {
         "palettized6_iter_s": round(STEPS / best, 3),
@@ -150,7 +151,7 @@ def bench_batch4(parts, single_iter_s: float) -> dict:
     requests (CFG batch 8) through one scan — the program
     GenerationServer.submit runs for 4 concurrent users (serving.py)."""
     cfg, params, make_scan, _, _ = parts
-    denoise = jax.jit(make_scan(lambda p: p))
+    denoise = sdtpu_jit(make_scan(lambda p: p))
     h = w = 64
     ctx8 = jax.random.normal(jax.random.key(3),
                              (8, 77, cfg.cross_attention_dim), jnp.float32)

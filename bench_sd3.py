@@ -26,6 +26,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
 
+from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
 from ml_stable_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
 from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
@@ -66,7 +67,7 @@ def run() -> float:
     sched = DiscreteFlowScheduler(shift=3.0)
     plan = sched.set_timesteps(STEPS)
 
-    @jax.jit
+    @sdtpu_jit
     def e2e(mparams, te1_params, te2_params, vparams, ids, latents):
         o1 = te1.apply({"params": te1_params}, ids)
         o2 = te2.apply({"params": te2_params}, ids)

@@ -21,6 +21,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
 
+from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.compress.w8a8 import (
     quantize_tree_dense_int8,
     w8a8_serving_interceptor,
@@ -66,7 +67,7 @@ def run(include_convs: bool = False) -> float:
     sched = DPMSolverMultistepScheduler()
     plan = sched.set_timesteps(STEPS)
 
-    @jax.jit
+    @sdtpu_jit
     def denoise(params, int8_w, latents, context):
         # the interceptor must close over TRACED int8 weights; closing over
         # concrete arrays would inline them as HLO constants (the remote

@@ -36,6 +36,7 @@ import numpy as np
 
 from ..schedulers import SCHEDULER_MAP
 from ..schedulers.base import Scheduler, SchedulerConfig, TimestepSpacing
+from ..utils.compile import sdtpu_jit
 from ..utils.image import nchw_to_nhwc, pil_to_tensor, tensor_to_pil
 from ..utils.rng import make_random_source
 from .config import PipelineConfiguration
@@ -597,7 +598,7 @@ class StableDiffusionPipeline:
                 (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
                 return latents, state
 
-            return jax.jit(self._intercepted(phase_scan))
+            return sdtpu_jit(self._intercepted(phase_scan))
 
         def make_one_step(phase_idx):
             def one_step(bundle, latents, state, text, i, step_noise, key,
@@ -611,11 +612,11 @@ class StableDiffusionPipeline:
                                                  (i, step_noise))
                 return latents, state, preview
 
-            return jax.jit(self._intercepted(one_step))
+            return sdtpu_jit(self._intercepted(one_step))
 
         return {
-            "full": jax.jit(self._intercepted(full_run)),
-            "init": jax.jit(self._intercepted(init_run)),
+            "full": sdtpu_jit(self._intercepted(full_run)),
+            "init": sdtpu_jit(self._intercepted(init_run)),
             "steps": [make_one_step(pi) for pi in range(len(phases))],
             "phase_scans": [make_phase_scan(pi) for pi in range(len(phases))],
             "phases": [(lo, hi) for lo, hi, _ in phases],
@@ -660,7 +661,7 @@ class StableDiffusionPipeline:
         shift = ((cfg.decoder_shift_factor if cfg else None)
                  or self.default_latent_shift)
         if self._decode_fn is None:
-            self._decode_fn = jax.jit(lambda vp, z: self.vae_decoder.apply(
+            self._decode_fn = sdtpu_jit(lambda vp, z: self.vae_decoder.apply(
                 {"params": vp}, z))
         imgs = self._decode_fn(self.vae_decoder_params,
                                jnp.asarray(latents) / scale + shift)

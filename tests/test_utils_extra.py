@@ -52,3 +52,24 @@ def test_clip_score_shape_and_range(tmp_path):
     img = Image.new("RGB", (64, 64), (120, 30, 200))
     s = clip_score(te, te_params, vm, vp, tok, "a purple square", img)
     assert -1.0 <= s <= 1.0
+
+
+def test_sdtpu_jit_cpu_passthrough():
+    """Off-TPU the helper must be plain jax.jit (TPU-only option names
+    would fail the CPU compiler)."""
+    import jax.numpy as jnp
+
+    from ml_stable_diffusion_tpu.utils.compile import (
+        sdtpu_jit,
+        tpu_compiler_options,
+    )
+
+    assert tpu_compiler_options() is None  # tests force the CPU backend
+
+    @sdtpu_jit
+    def f(x):
+        return x * 2
+
+    assert float(f(jnp.float32(3.0))) == 6.0
+    g = sdtpu_jit(lambda x: x + 1, static_argnums=())
+    assert float(g(jnp.float32(1.0))) == 2.0
