@@ -58,10 +58,12 @@ class CLIPTextConfig:
 
 
 def _activation(name: str):
+    from ..ops.activations import gelu_erf, quick_gelu
+
     if name == "quick_gelu":
-        return lambda x: x * nn.sigmoid(1.702 * x)
+        return quick_gelu
     if name == "gelu":
-        return lambda x: nn.gelu(x, approximate=False)
+        return gelu_erf
     raise ValueError(f"unknown activation {name!r}")
 
 

@@ -19,6 +19,7 @@ import dataclasses
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.activations import gelu_tanh
 from ..ops.attention import dot_product_attention
 from .unet import TimestepEmbedding, get_timestep_embedding
 
@@ -122,7 +123,7 @@ class JointTransformerBlock(nn.Module):
         x = x + g1[:, None] * nn.Dense(D, dtype=self.dtype, name="to_out_0")(attn_x)
         xm2 = _modulate(ln("norm2")(x), sh2, sc2)
         h = nn.Dense(4 * D, dtype=self.dtype, name="ff_proj")(xm2)
-        h = nn.gelu(h, approximate=True)
+        h = gelu_tanh(h)
         x = x + g2[:, None] * nn.Dense(D, dtype=self.dtype, name="ff_out")(h)
 
         if self.context_pre_only:
@@ -131,7 +132,7 @@ class JointTransformerBlock(nn.Module):
                                             name="to_add_out")(attn_c)
         cm2 = _modulate(ln("norm2_context")(ctx), csh2, csc2)
         hc = nn.Dense(4 * D, dtype=self.dtype, name="ff_context_proj")(cm2)
-        hc = nn.gelu(hc, approximate=True)
+        hc = gelu_tanh(hc)
         ctx = ctx + cg2[:, None] * nn.Dense(D, dtype=self.dtype,
                                             name="ff_context_out")(hc)
         return x, ctx

@@ -103,7 +103,9 @@ class T5Block(nn.Module):
                         name="wi_0")(y)
         lin = nn.Dense(cfg.d_ff, use_bias=False, dtype=self.dtype,
                        name="wi_1")(y)
-        h = nn.gelu(gate, approximate=True) * lin
+        from ..ops.activations import gelu_tanh
+
+        h = gelu_tanh(gate) * lin
         return x + nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
                             name="wo")(h)
 

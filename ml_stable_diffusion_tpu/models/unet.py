@@ -22,6 +22,7 @@ import dataclasses
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
@@ -154,6 +155,28 @@ class _GNParams(nn.Module):
                 self.param("bias", nn.initializers.zeros, (self.features,)))
 
 
+class _Conv1x1(nn.Module):
+    """1x1 convolution emitted as a ``dot_general`` instead of
+    ``conv_general_dilated``: the TPU conv emitter ran the up-block shortcut
+    convs (K up to 2560 from skip concats) at 58 TFLOP/s vs ~150 for the
+    neighbouring matmuls (r2 profile).  Param tree matches ``nn.Conv`` with a
+    (1, 1) kernel, so porting/artifacts are unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel[0, 0].astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())))
+        return y + bias.astype(self.dtype)
+
+
 class ResnetBlock2D(nn.Module):
     """GN->SiLU->conv + time-emb add + GN->SiLU->conv with skip
     (reference ResnetBlock2D unet.py:406-489)."""
@@ -194,8 +217,8 @@ class ResnetBlock2D(nn.Module):
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = _Conv1x1(self.out_channels, dtype=self.dtype,
+                         name="conv_shortcut")(x)
         return x + h
 
 
@@ -246,11 +269,13 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.activations import gelu_erf
+
         inner = self.dim * self.mult
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
         a, gate = jnp.split(proj, 2, axis=-1)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
-            a * nn.gelu(gate, approximate=False))
+            a * gelu_erf(gate))
 
 
 class BasicTransformerBlock(nn.Module):
