@@ -18,6 +18,21 @@ and accumulation in fp32 (MXU `preferred_element_type`), the p@v matmul in
 the input dtype.  Diffusion self/cross attention is unmasked (beyond KV
 padding), so no causal path is needed here — causal text encoding (77
 tokens) stays on the XLA path, far below flash break-even.
+
+Measured ablations (r2, don't redo):
+- jax.experimental.pallas.ops.tpu.flash_attention at SD shapes is 4-9x
+  SLOWER than this kernel ((2,4096,5,64): 4887 us vs 1137; (2,1024,10,64):
+  1099 vs ~250 wrapper-inclusive) — its causal-capable segment machinery
+  isn't free at D=64 diffusion shapes.
+- A "packed" head-indexed dispatch (BlockSpec (1, bq, D) blocks at lane
+  offset h*D over (B, S, H*D), eliminating the ~0.3 ms/step of BSHD->BHSD
+  repack copies) is REJECTED by Mosaic: last-dim blocks must be 128-divisible
+  or span the full dim, and D=64 on a 320-wide array is neither.  The
+  in-kernel head-loop alternative (full-lane blocks + per-head lane slices)
+  would trade those copies for per-access relayouts; not attempted.
+- The custom call itself runs at ~80 TFLOP/s (r2 trace: 43 GFLOP in 539 us
+  at (2,4096,5,64)) against a ~98 TFLOP/s ceiling set by D=64 half-filling
+  the MXU K/N dims — tile sweeps are within noise of that ceiling.
 """
 
 from __future__ import annotations

@@ -73,3 +73,43 @@ def test_sdtpu_jit_cpu_passthrough():
     assert float(f(jnp.float32(3.0))) == 6.0
     g = sdtpu_jit(lambda x: x + 1, static_argnums=())
     assert float(g(jnp.float32(1.0))) == 2.0
+
+
+def test_trace_summary_synthetic(tmp_path):
+    """trace_summary aggregates a profiler trace-event JSON by HLO category
+    and model source line (the r2 perf work's attribution tool)."""
+    import gzip
+    import json
+
+    from ml_stable_diffusion_tpu.utils.profiling import trace_summary
+
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    d.mkdir(parents=True)
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 0, "dur": 100.0,
+         "name": "fusion.1", "args": {
+             "hlo_category": "convolution fusion",
+             "model_flops": "2000000000",
+             "source_stack": ".../ml_stable_diffusion_tpu/models/unet.py:188:1"}},
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 100, "dur": 50.0,
+         "name": "copy.2", "args": {
+             "hlo_category": "data formatting",
+             "source_stack": "/opt/venv/flax/linen/linear.py:700:1"}},
+        {"ph": "X", "pid": 3, "tid": 1, "ts": 150, "dur": 999.0,
+         "name": "while.3", "args": {"hlo_category": "loop"}},  # excluded
+        {"ph": "X", "pid": 7, "tid": 1, "ts": 0, "dur": 888.0,
+         "name": "host.1", "args": {"hlo_category": "copy"}},  # non-device
+    ]
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    s = trace_summary(tmp_path, steps=2)
+    assert s["total_ms_per_step"] == pytest.approx(0.075)
+    cats = {r["name"]: r for r in s["by_category"]}
+    assert cats["convolution fusion"]["us_per_step"] == 50.0
+    assert cats["convolution fusion"]["tflops"] == pytest.approx(20.0)
+    assert cats["data formatting"]["us_per_step"] == 25.0
+    srcs = {r["name"] for r in s["by_source"]}
+    assert "unet.py:188" in srcs and "linear.py:700" in srcs
