@@ -4,7 +4,7 @@ from .unet import port_unet
 from .vae import port_vae_decoder, port_vae_encoder
 from .controlnet import port_controlnet
 from .t5 import port_t5_encoder
-from .mmdit import port_mmdit
+from .mmdit import port_mmdit, port_sd3_controlnet
 from .artifacts import save_module, load_module
 from .load import (
     load_pipeline,
@@ -32,6 +32,7 @@ __all__ = [
     "port_controlnet",
     "port_t5_encoder",
     "port_mmdit",
+    "port_sd3_controlnet",
     "save_module",
     "load_module",
     "load_pipeline",

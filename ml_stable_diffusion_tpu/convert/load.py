@@ -234,22 +234,39 @@ def load_vae(module_dir: str | Path, dtype=jnp.float32):
 
 
 def load_controlnet(module_dir: str | Path, dtype=jnp.bfloat16):
-    """diffusers ControlNetModel directory -> (model, params)
-    (reference convert_controlnet torch2coreml.py:1317 + base-model
-    compatibility is the caller's concern :1330-1342)."""
-    from ..models.controlnet import ControlNetModel
-    from .controlnet import port_controlnet
+    """diffusers ControlNet directory -> (model, params).
+
+    Dispatches on config.json ``_class_name``: UNet-family ControlNetModel
+    (reference convert_controlnet torch2coreml.py:1317; base-model
+    compatibility is the caller's concern :1330-1342) or SD3ControlNetModel
+    (models/controlnet_sd3.py — beyond the reference)."""
+    import jax
 
     module_dir = Path(module_dir)
-    cfg = unet_config_from_diffusers(_config_json(module_dir))
+    raw = _config_json(module_dir)
     sd = load_safetensors_state_dict(module_dir)
-    params = port_controlnet(sd, cfg)
-    if dtype == jnp.bfloat16:
-        import jax
+    if "SD3" in raw.get("_class_name", ""):
+        from ..models.controlnet_sd3 import (
+            SD3ControlNetConfig,
+            SD3ControlNetModel,
+        )
+        from .mmdit import port_sd3_controlnet
 
+        cfg = SD3ControlNetConfig(mmdit=mmdit_config_from_diffusers(raw),
+                                  num_layers=raw["num_layers"])
+        model = SD3ControlNetModel(cfg, dtype=dtype)
+        params = port_sd3_controlnet(sd, cfg)
+    else:
+        from ..models.controlnet import ControlNetModel
+        from .controlnet import port_controlnet
+
+        ucfg = unet_config_from_diffusers(raw)
+        model = ControlNetModel(ucfg, dtype=dtype)
+        params = port_controlnet(sd, ucfg)
+    if dtype == jnp.bfloat16:
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16)
                               if hasattr(x, "astype") else x, params)
-    return ControlNetModel(cfg, dtype=dtype), params
+    return model, params
 
 
 def mmdit_config_from_diffusers(cfg: dict) -> MMDiTConfig:
@@ -352,11 +369,14 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
             t5 = load_t5(root / "text_encoder_3", dtype=compute_dtype)
             t5_tok = T5Tokenizer(root / "tokenizer_3" / "tokenizer.json")
         mmdit = load_mmdit(root / "transformer", dtype=compute_dtype)
+        controlnets = [load_controlnet(d, dtype=compute_dtype)
+                       for d in controlnet_dirs]
         return StableDiffusion3Pipeline(
             tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
             text_encoder=te, text_encoder2=te2, t5_encoder=t5,
             mmdit=mmdit, vae_decoder=dec, vae_encoder=enc,
-            safety_checker=safety, scheduler_config=sched_cfg)
+            safety_checker=safety, scheduler_config=sched_cfg,
+            controlnets=controlnets)
 
     te = load_text_encoder(root / "text_encoder")
     unet = load_unet(root / "unet", dtype=compute_dtype, fuse_qkv=fuse_qkv)

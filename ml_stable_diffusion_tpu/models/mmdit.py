@@ -147,7 +147,8 @@ class MMDiT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, latents, timesteps, context, pooled):
+    def __call__(self, latents, timesteps, context, pooled,
+                 controlnet_residuals=None):
         cfg = self.config
         P = cfg.patch_size
         D = cfg.hidden_size
@@ -185,6 +186,11 @@ class MMDiT(nn.Module):
             x, ctx = JointTransformerBlock(
                 cfg, context_pre_only=(i == cfg.depth - 1), dtype=self.dtype,
                 name=f"blocks_{i}")(x, ctx, c)
+            if controlnet_residuals:
+                # SD3 ControlNet: block i consumes residual i // interval
+                # (models/controlnet_sd3.py; ecosystem SD3ControlNet indexing)
+                interval = max(1, cfg.depth // len(controlnet_residuals))
+                x = x + controlnet_residuals[i // interval].astype(x.dtype)
 
         # final adaLN + projection (AdaLayerNormContinuous: [scale, shift])
         mod = nn.Dense(2 * D, dtype=self.dtype, name="norm_out_linear")(nn.silu(c))

@@ -380,6 +380,23 @@ class StableDiffusionPipeline:
         """-> list of (start, end, unet_caller).  One phase for plain SD."""
         return [(0, num_steps, self._call_unet)]
 
+    def _call_controlnet(self, bundle, ci, latents_in, t, ctx_pos, added_pos,
+                         ctrl_image):
+        """One control net's residuals: (down_residuals, mid_residual).
+        UNet families condition on the raw RGB control image
+        (ControlNetConditioningEmbedding); SD3 overrides (pooled conditioning
+        + VAE-latent control input, mid residual None)."""
+        cn_model, _ = self.controlnets[ci]
+        return cn_model.apply(
+            {"params": bundle["controlnets"][ci]}, latents_in, t,
+            ctx_pos, ctrl_image)
+
+    def _prepare_control_inputs(self, bundle, cfg, ctrl_images):
+        """Per-program transform of the control images (identity for the
+        UNet families; SD3 VAE-encodes them to latents once, outside the
+        denoise scan)."""
+        return ctrl_images
+
     @staticmethod
     def _split_neg_pos(t, N: int):
         """(2, ...) single-prompt rows broadcast to N images; (2N, ...)
@@ -480,15 +497,16 @@ class StableDiffusionPipeline:
                 if n_ctrl == 0:
                     return None, None
                 down_sum = mid_sum = None
-                for ci, (cn_model, _) in enumerate(self.controlnets):
-                    d, m = cn_model.apply(
-                        {"params": bundle["controlnets"][ci]}, latents_in, t,
-                        ctx_pos, ctrl_images[ci])
+                for ci in range(len(self.controlnets)):
+                    d, m = self._call_controlnet(
+                        bundle, ci, latents_in, t, ctx_pos, added_pos,
+                        ctrl_images[ci])
                     if down_sum is None:
                         down_sum, mid_sum = list(d), m
                     else:  # residual accumulation (ControlNet.swift:100-114)
                         down_sum = [a + b for a, b in zip(down_sum, d)]
-                        mid_sum = mid_sum + m
+                        if m is not None:
+                            mid_sum = mid_sum + m
                 return down_sum, mid_sum
 
             def denoise(latents_in, t):
@@ -550,6 +568,9 @@ class StableDiffusionPipeline:
             return step
 
         def phase_denoisers(bundle, text, ctrl_images):
+            if n_ctrl:
+                ctrl_images = self._prepare_control_inputs(bundle, cfg,
+                                                           ctrl_images)
             out = []
             for pi, (lo, hi, call_unet) in enumerate(phases):
                 ctx_neg, ctx_pos, added_neg, added_pos = \

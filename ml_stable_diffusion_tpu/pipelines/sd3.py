@@ -34,11 +34,16 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     def __init__(self, *, tokenizer, tokenizer2, t5_tokenizer=None,
                  text_encoder, text_encoder2, t5_encoder=None, mmdit,
                  vae_decoder, vae_encoder=None, safety_checker=None,
-                 scheduler_config=None, t5_sequence_length: int = 77):
+                 controlnets=(), scheduler_config=None,
+                 t5_sequence_length: int = 77):
+        if controlnets and vae_encoder is None:
+            raise ValueError("SD3 ControlNet conditions on VAE-encoded "
+                             "control latents; pass vae_encoder")
         super().__init__(tokenizer=tokenizer, text_encoder=text_encoder,
                          unet=mmdit, vae_decoder=vae_decoder,
                          vae_encoder=vae_encoder,
                          safety_checker=safety_checker,
+                         controlnets=controlnets,
                          scheduler_config=scheduler_config)
         self.tokenizer2 = tokenizer2
         self.t5_tokenizer = t5_tokenizer
@@ -119,7 +124,31 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
                    mid_res):
         return self.unet.apply({"params": bundle["unet"]}, latents, t,
-                               context, added_cond["pooled"])
+                               context, added_cond["pooled"],
+                               controlnet_residuals=down_res)
+
+    # -- SD3 ControlNet (models/controlnet_sd3.py; beyond the reference) -------
+
+    def _prepare_control_inputs(self, bundle, cfg, ctrl_images):
+        """VAE-encode the RGB control images to latents once per program
+        (the control branch patch-embeds latents, not pixels).  Uses the
+        distribution MEAN (deterministic) and the pipeline encode convention
+        (x * scale, no shift — Encoder.swift:86-89)."""
+        scale = cfg.encoder_scale_factor or self.default_latent_scale
+        out = []
+        for im in ctrl_images:
+            moments = self.vae_encoder.apply(
+                {"params": bundle["vae_encoder"]}, im)
+            mean = jnp.split(moments, 2, axis=-1)[0]
+            out.append(mean * scale)
+        return out
+
+    def _call_controlnet(self, bundle, ci, latents_in, t, ctx_pos, added_pos,
+                         ctrl_latents):
+        cn_model, _ = self.controlnets[ci]
+        return cn_model.apply(
+            {"params": bundle["controlnets"][ci]}, latents_in, t, ctx_pos,
+            added_pos["pooled"], ctrl_latents)
 
     def _phase_conditioning(self, cfg, text, N, call_unet):
         ctx_neg, ctx_pos = self._split_neg_pos(text["context"], N)
