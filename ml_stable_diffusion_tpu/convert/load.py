@@ -433,6 +433,25 @@ def load_pipeline_from_artifacts(artifact_dir: str | Path,
             return (model, None), params
         return (model, params), None
 
+    def controlnet(cn_name):
+        """Class-aware ControlNet reconstruction (manifest config_class:
+        UNet-family ControlNetModel or SD3ControlNetModel)."""
+        params, manifest = load_module(root, name=cn_name)
+        conf = {k: tuple(v) if isinstance(v, list) else v
+                for k, v in manifest["config"].items()}
+        if manifest.get("config_class") == "SD3ControlNetConfig":
+            from ..models.controlnet_sd3 import (
+                SD3ControlNetConfig,
+                SD3ControlNetModel,
+            )
+
+            cfg = SD3ControlNetConfig(
+                mmdit=MMDiTConfig(**dict(conf["mmdit"])),
+                num_layers=conf["num_layers"])
+            return (SD3ControlNetModel(cfg, dtype=compute_dtype), params)
+        return (ControlNetModel(UNetConfig(**conf), dtype=compute_dtype),
+                params)
+
     safety = None
     if has("SafetyChecker"):
         model, params, _ = module("SafetyChecker", SafetyChecker,
@@ -503,18 +522,16 @@ def load_pipeline_from_artifacts(artifact_dir: str | Path,
             tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
             text_encoder=(m1, p1), text_encoder2=(m2, p2), t5_encoder=t5,
             mmdit=mmdit, vae_decoder=dec, vae_encoder=enc,
-            safety_checker=safety, scheduler_config=sched_cfg)
+            safety_checker=safety, scheduler_config=sched_cfg,
+            controlnets=[controlnet(n)
+                         for n in bundle.get("controlnets", ())])
         return finish(pipe, {"unet": mmdit_pal})
 
     tok = CLIPTokenizer.from_pretrained_dir(root)
     m, p, _ = module("TextEncoder", CLIPTextEncoder, CLIPTextConfig,
                      jnp.float32)
     unet, unet_pal = denoiser("Unet", UNet2DConditionModel, UNetConfig)
-    controlnets = []
-    for cn_name in bundle.get("controlnets", ()):
-        cm, cp, _ = module(cn_name, ControlNetModel, UNetConfig,
-                           compute_dtype)
-        controlnets.append((cm, cp))
+    controlnets = [controlnet(n) for n in bundle.get("controlnets", ())]
     pipe = StableDiffusionPipeline(
         tokenizer=tok, text_encoder=(m, p), unet=unet, vae_decoder=dec,
         vae_encoder=enc, safety_checker=safety, scheduler_config=sched_cfg,
