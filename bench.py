@@ -48,6 +48,8 @@ def _sd21_parts():
         cfg = dataclasses.replace(cfg, fused_groupnorm=True)
     if os.environ.get("SDTPU_GN_LOWMEM") == "1":
         cfg = dataclasses.replace(cfg, lowmem_groupnorm=True)
+    if os.environ.get("SDTPU_FAST_GELU") == "1":
+        cfg = dataclasses.replace(cfg, fast_gelu=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8

@@ -66,6 +66,12 @@ class UNetConfig:
     #: materialization of the tensor + its square — see
     #: ops/groupnorm.group_norm_silu_lowmem)
     lowmem_groupnorm: bool = False
+    #: serve-time optimization: sigmoid-approximate GELU in the GEGLU
+    #: feed-forwards (x*sigmoid(1.702x), ~1e-2 deviation from exact GELU;
+    #: the default is the exact erf form).  Opt-in because it changes the
+    #: math slightly vs the reference's F.gelu (unet.py:609).  Measured
+    #: 59.4 vs 58.5 iter/s on the SD-2.1 headline (r2, SDTPU_FAST_GELU=1).
+    fast_gelu: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -265,17 +271,19 @@ class FeedForward(nn.Module):
 
     dim: int
     mult: int = 4
+    fast_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.activations import gelu_erf
+        from ..ops.activations import gelu_erf, quick_gelu
 
+        gelu = quick_gelu if self.fast_gelu else gelu_erf
         inner = self.dim * self.mult
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
         a, gate = jnp.split(proj, 2, axis=-1)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
-            a * gelu_erf(gate))
+            a * gelu(gate))
 
 
 class BasicTransformerBlock(nn.Module):
@@ -285,6 +293,7 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     context_dim: int
     fuse_qkv: bool = False
+    fast_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -295,7 +304,8 @@ class BasicTransformerBlock(nn.Module):
         x = x + Attention(self.dim, self.heads, self.context_dim,
                           dtype=self.dtype, name="attn2")(
             nn.LayerNorm(dtype=self.dtype, name="norm2")(x), context)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+        x = x + FeedForward(self.dim, fast_gelu=self.fast_gelu,
+                            dtype=self.dtype, name="ff")(
             nn.LayerNorm(dtype=self.dtype, name="norm3")(x))
         return x
 
@@ -312,6 +322,7 @@ class SpatialTransformer(nn.Module):
     groups: int = 32
     eps: float = 1e-6
     fuse_qkv: bool = False
+    fast_gelu: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -326,6 +337,7 @@ class SpatialTransformer(nn.Module):
             h = BasicTransformerBlock(self.channels, self.heads,
                                       self.context_dim,
                                       fuse_qkv=self.fuse_qkv,
+                                      fast_gelu=self.fast_gelu,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(h, context)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
@@ -416,7 +428,8 @@ class UNet2DConditionModel(nn.Module):
                         out_ch, cfg.num_attention_heads[bi],
                         cfg.transformer_layers_per_block[bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
-                        fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
+                        fuse_qkv=cfg.fuse_qkv, fast_gelu=cfg.fast_gelu,
+                        dtype=self.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
                 residuals.append(h)
             if not is_final:
@@ -433,7 +446,8 @@ class UNet2DConditionModel(nn.Module):
         h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
                                cfg.transformer_layers_per_block[-1],
                                cfg.cross_attention_dim, cfg.norm_num_groups,
-                               fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
+                               fuse_qkv=cfg.fuse_qkv, fast_gelu=cfg.fast_gelu,
+                        dtype=self.dtype,
                                name="mid_block_attentions_0")(h, encoder_hidden_states)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
                           fused_gn=cfg.fused_groupnorm,
@@ -467,7 +481,8 @@ class UNet2DConditionModel(nn.Module):
                         out_ch, cfg.num_attention_heads[down_bi],
                         cfg.transformer_layers_per_block[down_bi],
                         cfg.cross_attention_dim, cfg.norm_num_groups,
-                        fuse_qkv=cfg.fuse_qkv, dtype=self.dtype,
+                        fuse_qkv=cfg.fuse_qkv, fast_gelu=cfg.fast_gelu,
+                        dtype=self.dtype,
                         name=f"up_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
             if not is_final:
                 h = Upsample2D(out_ch, dtype=self.dtype,

@@ -380,3 +380,19 @@ def test_lowmem_groupnorm_op_vs_flax():
         mse = np.mean((ref - out) ** 2)
         psnr = 10 * np.log10(ref.max() ** 2 / max(mse, 1e-20))
         assert psnr > min_psnr, (dtype, psnr)
+
+
+def test_fast_gelu_serving_option():
+    """fast_gelu (sigmoid-approx GEGLU) shares the param tree with the exact
+    path and deviates only slightly (~1e-2) — a serve-time opt-in."""
+    cfg = TINY_SD
+    model = UNet2DConditionModel(cfg)
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.ones((1,))
+    c = jnp.ones((1, 77, cfg.cross_attention_dim))
+    params = jax.jit(model.init)(jax.random.key(0), x, t, c)["params"]
+    fast = UNet2DConditionModel(dataclasses.replace(cfg, fast_gelu=True))
+    out = model.apply({"params": params}, x, t, c)
+    out_fast = fast.apply({"params": params}, x, t, c)
+    d = float(np.abs(np.asarray(out - out_fast)).max())
+    assert 0.0 < d < 0.5
