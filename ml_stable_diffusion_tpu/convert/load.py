@@ -252,8 +252,14 @@ def load_controlnet(module_dir: str | Path, dtype=jnp.bfloat16):
         )
         from .mmdit import port_sd3_controlnet
 
-        cfg = SD3ControlNetConfig(mmdit=mmdit_config_from_diffusers(raw),
-                                  num_layers=raw["num_layers"])
+        # NB mmdit.depth here is the control branch's own num_layers (the
+        # controlnet config.json has no record of the paired MMDiT's depth);
+        # SD3ControlNetConfig documents that this field is unused.
+        cfg = SD3ControlNetConfig(
+            mmdit=mmdit_config_from_diffusers(raw),
+            num_layers=raw["num_layers"],
+            force_zeros_for_pooled_projection=raw.get(
+                "force_zeros_for_pooled_projection", True))
         model = SD3ControlNetModel(cfg, dtype=dtype)
         params = port_sd3_controlnet(sd, cfg)
     else:

@@ -28,12 +28,24 @@ from .unet import TimestepEmbedding, get_timestep_embedding
 
 @dataclasses.dataclass(frozen=True)
 class SD3ControlNetConfig:
-    """MMDiT geometry (must match the paired MMDiT) + control-branch depth."""
+    """MMDiT geometry + control-branch depth.
+
+    ``mmdit`` carries the per-block geometry (hidden size, heads, context
+    dims) shared with the paired MMDiT.  Note ``mmdit.depth`` here is the
+    CONTROL BRANCH depth (== ``num_layers``) when built from a diffusers
+    controlnet config.json, NOT the paired MMDiT's depth — no code reads it;
+    the block count used everywhere is ``num_layers``."""
 
     mmdit: MMDiTConfig = MMDiTConfig()
     #: number of joint blocks in the control branch (e.g. 12 for the
     #: published SD3-medium canny/pose/tile nets vs the MMDiT's 24)
     num_layers: int = 12
+    #: InstantX-trained SD3 nets (config force_zeros_for_pooled_projection
+    #: true) are run with ZEROED pooled text projections and control latents
+    #: encoded WITHOUT the VAE shift factor; SD3.5-family nets (false) take
+    #: the real pooled embedding and ``(x - shift) * scale`` control latents
+    #: (ecosystem StableDiffusion3ControlNetPipeline conventions).
+    force_zeros_for_pooled_projection: bool = True
 
     @classmethod
     def sd3_medium(cls, num_layers: int = 12) -> "SD3ControlNetConfig":

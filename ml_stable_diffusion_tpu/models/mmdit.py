@@ -183,13 +183,18 @@ class MMDiT(nn.Module):
         ctx = nn.Dense(D, dtype=self.dtype, name="context_embedder")(context)
 
         for i in range(cfg.depth):
+            context_pre_only = i == cfg.depth - 1
             x, ctx = JointTransformerBlock(
-                cfg, context_pre_only=(i == cfg.depth - 1), dtype=self.dtype,
+                cfg, context_pre_only=context_pre_only, dtype=self.dtype,
                 name=f"blocks_{i}")(x, ctx, c)
-            if controlnet_residuals:
-                # SD3 ControlNet: block i consumes residual i // interval
-                # (models/controlnet_sd3.py; ecosystem SD3ControlNet indexing)
-                interval = max(1, cfg.depth // len(controlnet_residuals))
+            if controlnet_residuals and not context_pre_only:
+                # SD3 ControlNet: block i consumes residual i // interval with
+                # interval = ceil(depth / n) and no add on the final
+                # context_pre_only block (ecosystem SD3Transformer2DModel
+                # scheme; handles non-divisor residual counts, e.g. the
+                # 18-layer controlnet against the 24-deep medium MMDiT).
+                n = len(controlnet_residuals)
+                interval = -(-cfg.depth // n)  # ceil
                 x = x + controlnet_residuals[i // interval].astype(x.dtype)
 
         # final adaLN + projection (AdaLayerNormContinuous: [scale, shift])

@@ -132,23 +132,33 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     def _prepare_control_inputs(self, bundle, cfg, ctrl_images):
         """VAE-encode the RGB control images to latents once per program
         (the control branch patch-embeds latents, not pixels).  Uses the
-        distribution MEAN (deterministic) and the pipeline encode convention
-        (x * scale, no shift — Encoder.swift:86-89)."""
+        distribution MEAN (deterministic).  Encoding convention is keyed on
+        each net's force_zeros_for_pooled_projection (ecosystem
+        StableDiffusion3ControlNetPipeline): InstantX nets get ``mean *
+        scale`` with NO shift; SD3.5-family nets get ``(mean - shift) *
+        scale``."""
         scale = cfg.encoder_scale_factor or self.default_latent_scale
         out = []
-        for im in ctrl_images:
+        for ci, im in enumerate(ctrl_images):
             moments = self.vae_encoder.apply(
                 {"params": bundle["vae_encoder"]}, im)
             mean = jnp.split(moments, 2, axis=-1)[0]
+            cn_model, _ = self.controlnets[ci]
+            if not cn_model.config.force_zeros_for_pooled_projection:
+                mean = mean - self.default_latent_shift
             out.append(mean * scale)
         return out
 
     def _call_controlnet(self, bundle, ci, latents_in, t, ctx_pos, added_pos,
                          ctrl_latents):
         cn_model, _ = self.controlnets[ci]
+        pooled = added_pos["pooled"]
+        if cn_model.config.force_zeros_for_pooled_projection:
+            # InstantX SD3 nets were trained with zeroed pooled projections
+            pooled = jnp.zeros_like(pooled)
         return cn_model.apply(
             {"params": bundle["controlnets"][ci]}, latents_in, t, ctx_pos,
-            added_pos["pooled"], ctrl_latents)
+            pooled, ctrl_latents)
 
     def _phase_conditioning(self, cfg, text, N, call_unet):
         ctx_neg, ctx_pos = self._split_neg_pos(text["context"], N)

@@ -96,6 +96,52 @@ def test_residual_injection_and_scale():
     assert float(np.abs(np.asarray(res2[0] - res[0])).max()) > 1e-6
 
 
+def test_non_divisor_residual_count_and_final_block_skip():
+    """interval = ceil(depth / n) with no residual add on the final
+    context_pre_only block (ecosystem SD3Transformer2DModel scheme).  With
+    depth=4 and n=3: blocks 0,1 -> res[0], block 2 -> res[1], block 3
+    skipped; no IndexError for non-divisor counts, and a residual consumed
+    only by the skipped final block cannot change the output."""
+    _, (mm, mm_params) = _models()
+    lat, t, ctx, pooled, _ = _inputs()
+    hp_wp = 16
+    D = MM_CFG.hidden_size
+    res = [jax.random.normal(jax.random.key(30 + i), (1, hp_wp, D)) * 0.1
+           for i in range(3)]
+    out = mm.apply({"params": mm_params}, lat, t, ctx, pooled,
+                   controlnet_residuals=tuple(res))  # traces: no IndexError
+    base = mm.apply({"params": mm_params}, lat, t, ctx, pooled)
+    assert float(np.abs(np.asarray(out - base)).max()) > 1e-6
+
+    # With depth=4/n=3 the consumed indices are 0,0,1 (blocks 0..2) and
+    # block 3 is skipped, so res[2] is never read: changing it must not
+    # change the output.
+    res_mut = list(res)
+    res_mut[2] = res_mut[2] + 100.0
+    out2 = mm.apply({"params": mm_params}, lat, t, ctx, pooled,
+                    controlnet_residuals=tuple(res_mut))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    # ...while changing res[0] (consumed by blocks 0 and 1) must.
+    res_mut2 = list(res)
+    res_mut2[0] = res_mut2[0] + 1.0
+    out3 = mm.apply({"params": mm_params}, lat, t, ctx, pooled,
+                    controlnet_residuals=tuple(res_mut2))
+    assert float(np.abs(np.asarray(out3 - out)).max()) > 1e-6
+
+    # divisor case n == depth: every non-final block gets its own residual,
+    # the final one is skipped (diffusers: context_pre_only blocks excluded)
+    res_full = [jax.random.normal(jax.random.key(40 + i), (1, hp_wp, D)) * 0.1
+                for i in range(4)]
+    o_full = mm.apply({"params": mm_params}, lat, t, ctx, pooled,
+                      controlnet_residuals=tuple(res_full))
+    res_full_mut = list(res_full)
+    res_full_mut[3] = res_full_mut[3] + 100.0
+    o_full2 = mm.apply({"params": mm_params}, lat, t, ctx, pooled,
+                       controlnet_residuals=tuple(res_full_mut))
+    np.testing.assert_array_equal(np.asarray(o_full), np.asarray(o_full2))
+
+
 def test_port_structure_roundtrip():
     """port_sd3_controlnet maps a diffusers-layout state dict onto exactly
     the Flax init tree (names and shapes)."""
