@@ -125,22 +125,50 @@ def run(args):
         logger.info("%s converted", name)
 
     def parity(kind, module_dir, model, params):
-        """Reference-style conversion gate (torch2coreml.py:80-97):
-        torch-executed >=35 dB PSNR where a transformers reference exists;
-        structural element-count match otherwise."""
+        """Reference-style conversion gate (torch2coreml.py:80-97): every
+        converted model is executed against a torch reference and gated at
+        >= 35 dB — transformers models directly from the checkpoint, the
+        UNet/VAE/ControlNet/MMDiT via the independent mirror forwards
+        (convert/torch_mirrors.py), exactly the reference's own UNet check
+        (torch2coreml.py:970-975).  Falls back to the structural
+        element-count match if torch is unavailable."""
         if not args.check_output_correctness:
             return
         from ..convert import verify
 
         if kind == "clip":
             verify.torch_parity_text_encoder(module_dir, model, params)
-        elif kind == "t5":
+            return
+        if kind == "t5":
             verify.torch_parity_t5(module_dir, model, params)
-        elif kind == "safety":
+            return
+        if kind == "safety":
             verify.torch_parity_safety(module_dir, model, params)
-        else:  # unet / mmdit / vae / controlnet: no torch impl w/o diffusers
-            sd = load.load_safetensors_state_dict(module_dir)
-            verify.element_count_matches(sd, params, str(module_dir))
+            return
+
+        sd = load.load_safetensors_state_dict(module_dir)
+        verify.element_count_matches(sd, params, str(module_dir))
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            logger.warning("%s: torch unavailable — numerical mirror gate "
+                           "skipped (element count only)", module_dir)
+            return
+        label = Path(module_dir).name
+        # gate the PORT in fp32 (bf16 serving is a deliberate precision
+        # choice, not a porting error)
+        if kind == "unet":
+            m32, p32 = load.load_unet(module_dir, dtype=jnp.float32)
+            verify.torch_parity_unet(sd, m32, p32, label=label)
+        elif kind == "mmdit":
+            m32, p32 = load.load_mmdit(module_dir, dtype=jnp.float32)
+            verify.torch_parity_mmdit(sd, m32, p32, label=label)
+        elif kind == "controlnet":
+            m32, p32 = load.load_controlnet(module_dir, dtype=jnp.float32)
+            if type(m32).__name__ == "SD3ControlNetModel":
+                verify.torch_parity_sd3_controlnet(sd, m32, p32, label=label)
+            else:
+                verify.torch_parity_controlnet(sd, m32, p32, label=label)
 
     def quantized(params):
         """Palettize eligible kernels -> tree with PalettizedTensor leaves
@@ -185,21 +213,21 @@ def run(args):
     if is_sd3:
         if (all_ or args.convert_mmdit) and not exists("MMDiT"):
             model, params = load.load_mmdit(src / "transformer")
-            parity("count", src / "transformer", model, params)
+            parity("mmdit", src / "transformer", model, params)
             if args.quantize_nbits:
                 params = quantized(params)
             save("MMDiT", params, model.config)
     else:
         if (all_ or args.convert_unet) and not exists("Unet"):
             model, params = load.load_unet(src / "unet", dtype=jnp.bfloat16)
-            parity("count", src / "unet", model, params)
+            parity("unet", src / "unet", model, params)
             if args.quantize_nbits:
                 params = quantized(params)
             save("Unet", params, model.config)
     if args.refiner_version and not exists("RefinerUnet"):
         model, params = load.load_unet(Path(args.refiner_version) / "unet",
                                        dtype=jnp.bfloat16)
-        parity("count", Path(args.refiner_version) / "unet", model, params)
+        parity("unet", Path(args.refiner_version) / "unet", model, params)
         if args.quantize_nbits:
             params = quantized(params)
         save("RefinerUnet", params, model.config)
@@ -216,7 +244,8 @@ def run(args):
                                           or args.convert_vae_encoder):
         from ..convert import verify
 
-        (dec, dec_params), (enc, enc_params) = load.load_vae(vae_dir)
+        (dec, dec_params), (enc, enc_params) = load.load_vae(
+            vae_dir, dtype=jnp.float32)
         sd = load.load_safetensors_state_dict(vae_dir)
         dec_n = verify._tree_element_count(dec_params)
         enc_n = verify._tree_element_count(enc_params)
@@ -225,6 +254,15 @@ def run(args):
             raise AssertionError(
                 f"VAE port element count {dec_n}+{enc_n} != source {src_n}")
         logger.info("VAE: element count matches source (%d)", src_n)
+        try:
+            import torch  # noqa: F401
+        except ImportError:
+            logger.warning("VAE: torch unavailable — mirror gate skipped")
+        else:
+            verify.torch_parity_vae_decoder(sd, dec, dec_params,
+                                            label=vae_dir.name)
+            verify.torch_parity_vae_encoder(sd, enc, enc_params,
+                                            label=vae_dir.name)
 
     # -- safety checker -------------------------------------------------------------
     if (all_ or args.convert_safety_checker) \
@@ -241,7 +279,7 @@ def run(args):
         if exists(name):
             continue
         model, params = load.load_controlnet(cn_dir)
-        parity("count", cn_dir, model, params)
+        parity("controlnet", cn_dir, model, params)
         save(name, params, model.config)
 
     if args.convert_multilingual_projection:

@@ -7,12 +7,12 @@ module for every converted model as part of the tool itself
 - modules with a transformers-executable reference (CLIP text encoders, T5,
   the safety checker's CLIP vision tower) are executed in torch directly
   from the checkpoint directory and gated at >= 35 dB;
-- modules without a local torch implementation (UNet / VAE / ControlNet /
-  MMDiT — their torch classes live in diffusers, which is not a dependency)
-  are gated structurally: every source tensor must have been consumed by the
-  port (element-count match), which catches silently dropped weights.  Their
-  numerical parity is covered by the test suite's hand-built torch blocks
-  (tests/test_unet.py, tests/test_vae.py).
+- UNet / VAE / ControlNet / MMDiT (whose torch classes live in diffusers,
+  not a dependency here) are gated against the independent torch mirror
+  forwards in convert/torch_mirrors.py — full assembled-model numerics on
+  the same state dict, >= 35 dB, exactly the reference's own UNet gate
+  (torch2coreml.py:970-975) — plus an element-count match (catches silently
+  dropped weights the numerics could mask on sparse-impact tensors).
 """
 
 from __future__ import annotations
@@ -45,6 +45,185 @@ def element_count_matches(state_dict: dict, params, name: str,
             f"{name}: ported element count {dst} != source {src} — "
             "the port dropped or duplicated tensors")
     logger.info("%s: element count matches source (%d)", name, src)
+
+
+# ---- full-model mirrors (UNet / VAE / ControlNet / MMDiT) -----------------
+#
+# The reference gates the UNet itself numerically at conversion time
+# (torch2coreml.py:970-975); these run the independent torch mirror forwards
+# (convert/torch_mirrors.py) against the ported Flax model on random inputs
+# and gate >= 35 dB.
+
+
+def _rand(rng, *shape):
+    import jax.numpy as jnp
+
+    return jnp.asarray(rng.randn(*shape), jnp.float32)
+
+
+def _nchw(x):
+    import torch
+
+    return torch.from_numpy(np.asarray(x, np.float32).transpose(0, 3, 1, 2))
+
+
+def _xl_added_cond(cfg, rng, B, text_embed_dim=None):
+    """SDXL/refiner micro-conditioning inputs sized from the config.  The
+    pooled text width is 1280 for the published XL/refiner checkpoints
+    (TextEncoderXL projection); tiny test configs pass it explicitly."""
+    if text_embed_dim is None:
+        cand = cfg.projection_class_embeddings_input_dim - 1280
+        if cand > 0 and cand % cfg.addition_time_embed_dim == 0:
+            text_embed_dim = 1280
+        else:  # fall back to the XL convention of 6 time ids
+            text_embed_dim = (cfg.projection_class_embeddings_input_dim
+                              - 6 * cfg.addition_time_embed_dim)
+    n_ids = ((cfg.projection_class_embeddings_input_dim - text_embed_dim)
+             // cfg.addition_time_embed_dim)
+    import jax.numpy as jnp
+
+    return {
+        "text_embeds": _rand(rng, B, text_embed_dim),
+        "time_ids": jnp.asarray(
+            rng.randint(0, 1024, size=(B, n_ids)).astype(np.float32)),
+    }
+
+
+def torch_parity_unet(state_dict, model, params, label="unet",
+                      text_embed_dim=None, hw=16) -> float:
+    """Assembled-UNet gate: ported Flax forward vs the diffusers-semantics
+    torch mirror on the SAME state dict (>= 35 dB)."""
+    import torch
+
+    from .torch_mirrors import torch_unet_forward
+
+    cfg = model.config
+    rng = np.random.RandomState(0)
+    B = 2
+    sample = _rand(rng, B, hw, hw, cfg.in_channels)
+    t = np.asarray([500.0, 10.0], np.float32)
+    ctx = _rand(rng, B, 77, cfg.cross_attention_dim)
+    added = (None if cfg.addition_embed_type is None
+             else _xl_added_cond(cfg, rng, B, text_embed_dim))
+    import jax.numpy as jnp
+
+    out = model.apply({"params": params}, sample, jnp.asarray(t), ctx,
+                      added_cond=added)
+    t_added = None if added is None else {
+        k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in added.items()}
+    ref = torch_unet_forward(state_dict, cfg, _nchw(sample),
+                             torch.from_numpy(t),
+                             torch.from_numpy(np.asarray(ctx, np.float32)),
+                             added_cond=t_added)
+    return report_correctness(np.asarray(out, np.float32).transpose(0, 3, 1, 2),
+                              ref.numpy(), f"convert:{label}")
+
+
+def torch_parity_controlnet(state_dict, model, params,
+                            label="controlnet") -> float:
+    import torch
+
+    from .torch_mirrors import torch_controlnet_forward
+
+    cfg = model.config
+    rng = np.random.RandomState(0)
+    B, hw = 2, 16
+    sample = _rand(rng, B, hw, hw, cfg.in_channels)
+    t = np.asarray([500.0, 10.0], np.float32)
+    ctx = _rand(rng, B, 77, cfg.cross_attention_dim)
+    cond = np.asarray(rng.rand(B, hw * 8, hw * 8, 3), np.float32)
+    import jax.numpy as jnp
+
+    down, mid = model.apply({"params": params}, sample, jnp.asarray(t), ctx,
+                            jnp.asarray(cond))
+    rdown, rmid = torch_controlnet_forward(
+        state_dict, cfg, _nchw(sample), torch.from_numpy(t),
+        torch.from_numpy(np.asarray(ctx, np.float32)), _nchw(cond))
+    got = np.concatenate([np.asarray(d, np.float32).transpose(0, 3, 1, 2).ravel()
+                          for d in down]
+                         + [np.asarray(mid, np.float32).transpose(0, 3, 1, 2).ravel()])
+    ref = np.concatenate([r.numpy().ravel() for r in rdown]
+                         + [rmid.numpy().ravel()])
+    return report_correctness(got, ref, f"convert:{label}")
+
+
+def torch_parity_vae_decoder(state_dict, model, params,
+                             label="vae_decoder", hw=8) -> float:
+    from .torch_mirrors import torch_vae_decoder_forward
+
+    cfg = model.config
+    rng = np.random.RandomState(0)
+    z = _rand(rng, 2, hw, hw, cfg.latent_channels)
+    out = model.apply({"params": params}, z)
+    ref = torch_vae_decoder_forward(state_dict, cfg, _nchw(z))
+    return report_correctness(np.asarray(out, np.float32).transpose(0, 3, 1, 2),
+                              ref.numpy(), f"convert:{label}")
+
+
+def torch_parity_vae_encoder(state_dict, model, params,
+                             label="vae_encoder", hw=64) -> float:
+    from .torch_mirrors import torch_vae_encoder_forward
+
+    cfg = model.config
+    rng = np.random.RandomState(0)
+    x = _rand(rng, 2, hw, hw, cfg.in_channels) * 0.5
+    out = model.apply({"params": params}, x)
+    ref = torch_vae_encoder_forward(state_dict, cfg, _nchw(x))
+    return report_correctness(np.asarray(out, np.float32).transpose(0, 3, 1, 2),
+                              ref.numpy(), f"convert:{label}")
+
+
+def torch_parity_mmdit(state_dict, model, params, label="mmdit",
+                       hw=16) -> float:
+    import torch
+
+    from .torch_mirrors import torch_mmdit_forward
+
+    cfg = model.config
+    rng = np.random.RandomState(0)
+    B = 2
+    latents = _rand(rng, B, hw, hw, cfg.in_channels)
+    t = np.asarray([800.0, 200.0], np.float32)
+    ctx = _rand(rng, B, 20, cfg.context_dim)
+    pooled = _rand(rng, B, cfg.pooled_dim)
+    import jax.numpy as jnp
+
+    out = model.apply({"params": params}, latents, jnp.asarray(t), ctx, pooled)
+    ref = torch_mmdit_forward(state_dict, cfg, _nchw(latents),
+                              torch.from_numpy(t),
+                              torch.from_numpy(np.asarray(ctx, np.float32)),
+                              torch.from_numpy(np.asarray(pooled, np.float32)))
+    return report_correctness(np.asarray(out, np.float32).transpose(0, 3, 1, 2),
+                              ref.numpy(), f"convert:{label}")
+
+
+def torch_parity_sd3_controlnet(state_dict, model, params,
+                                label="sd3_controlnet", hw=16) -> float:
+    import torch
+
+    from .torch_mirrors import torch_sd3_controlnet_forward
+
+    cfg = model.config
+    mcfg = cfg.mmdit
+    rng = np.random.RandomState(0)
+    B = 2
+    latents = _rand(rng, B, hw, hw, mcfg.in_channels)
+    t = np.asarray([800.0, 200.0], np.float32)
+    ctx = _rand(rng, B, 20, mcfg.context_dim)
+    pooled = _rand(rng, B, mcfg.pooled_dim)
+    cond = _rand(rng, B, hw, hw, mcfg.in_channels)
+    import jax.numpy as jnp
+
+    down, _ = model.apply({"params": params}, latents, jnp.asarray(t), ctx,
+                          pooled, cond)
+    ref = torch_sd3_controlnet_forward(
+        state_dict, mcfg, cfg.num_layers, _nchw(latents),
+        torch.from_numpy(t),
+        torch.from_numpy(np.asarray(ctx, np.float32)),
+        torch.from_numpy(np.asarray(pooled, np.float32)), _nchw(cond))
+    got = np.concatenate([np.asarray(d, np.float32).ravel() for d in down])
+    refv = np.concatenate([r.numpy().ravel() for r in ref])
+    return report_correctness(got, refv, f"convert:{label}")
 
 
 def torch_parity_text_encoder(module_dir: str | Path, model, params) -> float:

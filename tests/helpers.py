@@ -109,9 +109,84 @@ def fake_multilingual_embedder(text, script="latin"):
     return np.random.RandomState(seed).randn(S, 512).astype(np.float32)
 
 
+def mmdit_params_to_diffusers_sd(params):
+    """Invert port_mmdit / port_sd3_controlnet: flax params -> synthetic
+    diffusers SD3Transformer2DModel-layout numpy state dict."""
+    import jax
+
+    ren = {
+        "patch_proj": "pos_embed.proj",
+        "patch_proj_input": "pos_embed_input.proj",
+        "timestep_embedder": "time_text_embed.timestep_embedder",
+        "text_embedder": "time_text_embed.text_embedder",
+        "norm_out_linear": "norm_out.linear",
+    }
+    blk_ren = {
+        "norm1_linear": "norm1.linear",
+        "norm1_context_linear": "norm1_context.linear",
+        "to_q": "attn.to_q", "to_k": "attn.to_k", "to_v": "attn.to_v",
+        "add_q_proj": "attn.add_q_proj", "add_k_proj": "attn.add_k_proj",
+        "add_v_proj": "attn.add_v_proj",
+        "to_out_0": "attn.to_out.0", "to_add_out": "attn.to_add_out",
+        "norm_q": "attn.norm_q", "norm_k": "attn.norm_k",
+        "norm_added_q": "attn.norm_added_q",
+        "norm_added_k": "attn.norm_added_k",
+        "ff_proj": "ff.net.0.proj", "ff_out": "ff.net.2",
+        "ff_context_proj": "ff_context.net.0.proj",
+        "ff_context_out": "ff_context.net.2",
+    }
+    sd = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [p.key for p in path]
+        v = np.asarray(leaf)
+        if keys == ["pos_embed"]:
+            M1, M2, D = v.shape
+            sd["pos_embed.pos_embed"] = np.ascontiguousarray(
+                v.reshape(1, M1 * M2, D))
+            continue
+        mod, leafname = keys[:-1], keys[-1]
+        parts = []
+        for k in mod:
+            if k.startswith("blocks_"):
+                parts.append("transformer_blocks." + k[len("blocks_"):])
+            elif k.startswith("controlnet_blocks_"):
+                parts.append("controlnet_blocks."
+                             + k[len("controlnet_blocks_"):])
+            elif k in blk_ren and parts:  # inside a block
+                parts.append(blk_ren[k])
+            elif k in ren:
+                parts.append(ren[k])
+            else:
+                parts.append(k)
+        name = ".".join(parts)
+        if leafname == "kernel":
+            w = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+            sd[name + ".weight"] = np.ascontiguousarray(w)
+        elif leafname == "scale":
+            sd[name + ".weight"] = np.ascontiguousarray(v)
+        else:
+            sd[name + ".bias"] = np.ascontiguousarray(v)
+    return sd
+
+
+def randomize_params(params, seed, scale=0.2):
+    """Replace every leaf with seeded N(0, scale) values — distinct weights
+    everywhere so zero-init leaves (zero convs, biases) can't mask wiring
+    errors in mirror-parity tests."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.RandomState(seed)
+    new = [jnp.asarray(rng.randn(*np.shape(l)).astype(np.float32) * scale)
+           for l in leaves]
+    return jax.tree_util.tree_unflatten(treedef, new)
+
+
 def flax_params_to_diffusers_sd(params, kind):
     """Invert the port mapping: flax params -> synthetic diffusers-layout
-    numpy state dict.  kind in {"unet", "vae_encoder", "vae_decoder"}."""
+    numpy state dict.  kind in {"unet", "controlnet", "vae_encoder",
+    "vae_decoder"}."""
     import jax
 
     sd = {}
@@ -132,6 +207,7 @@ def flax_params_to_diffusers_sd(params, kind):
                 .replace("_upsamplers_0_conv", ".upsamplers.0.conv")
                 .replace("_upsamplers_0", ".upsamplers.0")
                 .replace("transformer_blocks_", "transformer_blocks.")
+                .replace("cond_embedding/blocks_", "cond_embedding/blocks.")
                 .replace("to_out_0", "to_out.0")
                 .replace("geglu_proj", "net.0.proj")
                 .replace("ff/proj_out", "ff/net.2")
