@@ -90,7 +90,22 @@ def parser_spec() -> argparse.ArgumentParser:
     p.add_argument("--use-denoised-intermediates", action="store_true",
                    help="--save-every previews decode predicted-x0 instead "
                         "of raw noisy latents (Configuration.swift:44)")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="shard the pipeline across the visible chips and run "
+                        "the full generation program under GSPMD (TPU-native "
+                        "multi-chip extension, SURVEY.md §2.4). SPEC is "
+                        "'tp=N' or 'dp=D,tp=T'; e.g. --mesh tp=4")
     return p
+
+
+def _parse_mesh(spec: str):
+    """'tp=N' / 'dp=D,tp=T' -> jax.sharding.Mesh over the visible devices."""
+    from ..parallel import make_mesh
+
+    kv = dict(part.split("=") for part in spec.split(","))
+    dp = int(kv.get("dp", 1))
+    tp = int(kv.get("tp", 1))
+    return make_mesh(dp * tp, dp=dp, tp=tp)
 
 
 def _load_embedder(spec: str, script: str):
@@ -138,10 +153,11 @@ def run(args) -> list:
         multilingual = (MultilingualProjection(hidden_size=hidden), params,
                         embed_fn)
 
+    mesh = _parse_mesh(args.mesh) if args.mesh else None
     pipe = load_pipeline(args.checkpoint_path, custom_vae_dir=args.custom_vae,
                          controlnet_dirs=args.controlnet,
                          fuse_qkv=args.fuse_qkv,
-                         multilingual_encoder=multilingual)
+                         multilingual_encoder=multilingual, mesh=mesh)
     if args.w8a8:
         import json as _json
 

@@ -318,15 +318,20 @@ def load_t5(module_dir: str | Path, dtype=jnp.bfloat16):
 def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
                   refiner_dir=None, controlnet_dirs=(),
                   compute_dtype=jnp.bfloat16, fuse_qkv: bool = False,
-                  multilingual_encoder=None):
+                  multilingual_encoder=None, mesh=None):
     """Assemble a pipeline from a diffusers-layout checkpoint directory.
 
     Family is read from model_index.json ``_class_name`` (SD / SDXL / SD3).
     ``custom_vae_dir`` overrides the bundled VAE (reference --custom-vae-version,
     torch2coreml.py:1489-1513).
+    ``mesh``: optional jax.sharding.Mesh — the assembled pipeline is sharded
+    across it (pipe.shard) so generation runs multi-chip under GSPMD.
     """
     from ..pipelines.sd import StableDiffusionPipeline
     from ..pipelines.sdxl import StableDiffusionXLPipeline
+
+    def _finish(pipe):
+        return pipe.shard(mesh) if mesh is not None else pipe
 
     root = Path(checkpoint_dir)
     index = json.loads((root / "model_index.json").read_text())
@@ -355,13 +360,13 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         refiner = (load_unet(Path(refiner_dir) / "unet", dtype=compute_dtype,
                              fuse_qkv=fuse_qkv)
                    if refiner_dir else None)
-        return StableDiffusionXLPipeline(
+        return _finish(StableDiffusionXLPipeline(
             tokenizer=tok, tokenizer2=tok2, text_encoder=te,
             text_encoder2=te2, unet=unet, refiner_unet=refiner,
             vae_decoder=dec, vae_encoder=enc, safety_checker=safety,
             scheduler_config=sched_cfg,
             force_zeros_for_empty_prompt=index.get(
-                "force_zeros_for_empty_prompt", True))
+                "force_zeros_for_empty_prompt", True)))
     if "StableDiffusion3" in family:
         from ..pipelines.sd3 import StableDiffusion3Pipeline
         from ..tokenizer.t5 import T5Tokenizer
@@ -377,27 +382,27 @@ def load_pipeline(checkpoint_dir: str | Path, custom_vae_dir=None,
         mmdit = load_mmdit(root / "transformer", dtype=compute_dtype)
         controlnets = [load_controlnet(d, dtype=compute_dtype)
                        for d in controlnet_dirs]
-        return StableDiffusion3Pipeline(
+        return _finish(StableDiffusion3Pipeline(
             tokenizer=tok, tokenizer2=tok2, t5_tokenizer=t5_tok,
             text_encoder=te, text_encoder2=te2, t5_encoder=t5,
             mmdit=mmdit, vae_decoder=dec, vae_encoder=enc,
             safety_checker=safety, scheduler_config=sched_cfg,
-            controlnets=controlnets)
+            controlnets=controlnets))
 
     te = load_text_encoder(root / "text_encoder")
     unet = load_unet(root / "unet", dtype=compute_dtype, fuse_qkv=fuse_qkv)
     controlnets = [load_controlnet(d, dtype=compute_dtype)
                    for d in controlnet_dirs]
-    return StableDiffusionPipeline(tokenizer=tok, text_encoder=te, unet=unet,
-                                   vae_decoder=dec, vae_encoder=enc,
-                                   safety_checker=safety,
-                                   scheduler_config=sched_cfg,
-                                   multilingual_encoder=multilingual_encoder,
-                                   controlnets=controlnets)
+    return _finish(StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=te, unet=unet,
+        vae_decoder=dec, vae_encoder=enc, safety_checker=safety,
+        scheduler_config=sched_cfg,
+        multilingual_encoder=multilingual_encoder,
+        controlnets=controlnets))
 
 
 def load_pipeline_from_artifacts(artifact_dir: str | Path,
-                                 compute_dtype=jnp.bfloat16):
+                                 compute_dtype=jnp.bfloat16, mesh=None):
     """Assemble a pipeline (SD / SDXL / SD3) from a converted artifact bundle
     (cli/convert.py output) — the analog of the reference loading compiled
     .mlmodelc Resources/ (coreml_model.py get_resource_type/_load_mlpackage;
@@ -453,7 +458,9 @@ def load_pipeline_from_artifacts(artifact_dir: str | Path,
 
             cfg = SD3ControlNetConfig(
                 mmdit=MMDiTConfig(**dict(conf["mmdit"])),
-                num_layers=conf["num_layers"])
+                num_layers=conf["num_layers"],
+                force_zeros_for_pooled_projection=conf.get(
+                    "force_zeros_for_pooled_projection", True))
             return (SD3ControlNetModel(cfg, dtype=compute_dtype), params)
         return (ControlNetModel(UNetConfig(**conf), dtype=compute_dtype),
                 params)
@@ -476,7 +483,7 @@ def load_pipeline_from_artifacts(artifact_dir: str | Path,
         for key, pal in pal_map.items():
             if pal is not None:
                 pipe.install_palettized(key, pal, dtype=compute_dtype)
-        return pipe
+        return pipe.shard(mesh) if mesh is not None else pipe
 
     if "XL" in family:
         from ..pipelines.sdxl import StableDiffusionXLPipeline

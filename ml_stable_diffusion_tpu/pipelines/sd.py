@@ -120,6 +120,8 @@ class StableDiffusionPipeline:
         self.int8_skip_patterns: tuple = ()
         self._programs: dict = {}
         self._decode_fn = None
+        #: set by shard(): the jax.sharding.Mesh the programs run across
+        self.mesh = None
 
     def enable_w8a8(self, act_scales=None, include_convs: bool = False,
                     min_size: int = 1 << 14, skip_patterns=None):
@@ -342,6 +344,44 @@ class StableDiffusionPipeline:
             self.int8_weights = to_host(self.int8_weights)
         if self.palettized_side:
             self.palettized_side = to_host(self.palettized_side)
+        return self
+
+    def shard(self, mesh):
+        """Place every model's weights onto a ``jax.sharding.Mesh`` and
+        re-trace the generation programs under GSPMD — the full program
+        (text encode -> denoise scan -> decode) then runs across the mesh
+        with XLA-inserted collectives on ICI.
+
+        Layouts follow ``parallel.sharding.param_sharding_rules``:
+        megatron-style column/row tensor parallelism over the mesh's 'tp'
+        axis for every attention/MLP projection (UNet, CLIP, MMDiT, T5),
+        out-channel sharding for large conv kernels, replication for
+        everything else.  Activations stay unannotated — GSPMD propagates
+        layouts from the weights (beyond the reference, which has no
+        multi-device execution at all; SURVEY.md §2.4).
+
+        Numerically identical to single-device execution within fp
+        tolerance (tests/test_parallel.py::test_sharded_pipeline_generate).
+        """
+        from ..parallel.sharding import shard_params
+
+        def place(tree):
+            return None if tree is None else shard_params(tree, mesh)
+
+        for attr in self._PARAM_ATTRS:
+            setattr(self, attr, place(getattr(self, attr, None)))
+        self.controlnets = [(m, place(p)) for m, p in self.controlnets]
+        if self.multilingual_encoder is not None:
+            proj, p, fn = self.multilingual_encoder
+            self.multilingual_encoder = (proj, place(p), fn)
+        # compressed side trees have no ruled names -> replicated placement
+        if self.int8_weights is not None:
+            self.int8_weights = place(self.int8_weights)
+        if self.palettized_side:
+            self.palettized_side = place(self.palettized_side)
+        self.mesh = mesh
+        self._programs.clear()
+        self._decode_fn = None
         return self
 
     def _phase_module_key(self, call_unet) -> str:

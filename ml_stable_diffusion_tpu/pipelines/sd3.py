@@ -52,6 +52,10 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
         self.t5_sequence_length = t5_sequence_length
         self.context_dim = self.unet.config.context_dim
 
+    #: text_encoder2/t5 params must ride along for offload/shard
+    _PARAM_ATTRS = StableDiffusionPipeline._PARAM_ATTRS + (
+        "text_encoder2_params", "t5_encoder_params")
+
     # -- scheduler: rectified flow only (reference :131-133) --------------------
 
     def _make_scheduler(self, cfg: PipelineConfiguration):

@@ -202,6 +202,28 @@ def test_sharded_t5_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_pipeline_generate_matches_single_device(tmp_path):
+    """pipe.shard(mesh): the FULL generation program (encode -> denoise scan
+    -> decode) runs under GSPMD and reproduces single-device latents."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from helpers import tiny_tokenizer, tiny_text_encoder, tiny_unet, tiny_vae
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+    from ml_stable_diffusion_tpu.pipelines.sd import StableDiffusionPipeline
+
+    (dec, dec_params), _ = tiny_vae()
+    pipe = StableDiffusionPipeline(
+        tokenizer=tiny_tokenizer(tmp_path),
+        text_encoder=tiny_text_encoder(),
+        unet=tiny_unet(), vae_decoder=(dec, dec_params))
+    gen = PipelineConfiguration(prompt="a cat", step_count=2, seed=3,
+                                disable_safety=True)
+    ref = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    pipe.shard(make_mesh(4, dp=1))
+    out = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_train_step_runs_and_reduces_loss():
     model, params = tiny_unet()
     mesh = make_mesh(8, dp=2)
