@@ -6,8 +6,11 @@ Measures the reference's headline metric — diffusion iter/s with CFG batch 2,
 target >= 30 iter/s on one v5e chip).
 
 Random bf16 weights (identical FLOPs/layout to ported real weights — speed
-is weight-value independent).  The denoise loop is the real pipeline path:
-one jitted lax.scan containing UNet + CFG guidance + DPM++ scheduler math.
+is weight-value independent).  The HEADLINE measures the real serving path —
+``StableDiffusionPipeline.generate_images`` (text encode + denoise scan in
+one jitted program, program cache, bundle materialization) — as the median
+of 3 runs with distinct seeds/prompts; the raw hand-rolled scan rides in
+``extra.raw_scan_iter_s``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``extra`` carries driver-verified secondary numbers (SDXL 1024 e2e latency,
@@ -103,7 +106,16 @@ def _sd21_parts():
     return cfg, params, make_scan, context, fresh_latents
 
 
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
 def _time_best(fn, fresh_latents, repeats=3):
+    """MEDIAN of ``repeats`` timed runs after one warmup (the reference's
+    metric protocol, test_stable_diffusion.py:107-110 — r2 used min, which
+    flatters tunnel noise)."""
     fn(fresh_latents(0)).block_until_ready()  # warmup / compile
     times = []
     for i in range(repeats):
@@ -112,7 +124,7 @@ def _time_best(fn, fresh_latents, repeats=3):
         t = time.perf_counter()
         fn(lat).block_until_ready()
         times.append(time.perf_counter() - t)
-    return min(times)
+    return _median(times)
 
 
 def bench_sd21(parts) -> float:
@@ -120,6 +132,76 @@ def bench_sd21(parts) -> float:
     denoise = sdtpu_jit(make_scan(lambda p: p))
     best = _time_best(lambda lat: denoise(params, lat, context), fresh)
     return STEPS / best
+
+
+def _rand_tree(model, init_args, dtype, seed=0, scale=0.02):
+    shapes = jax.eval_shape(lambda k: model.init(k, *init_args),
+                            jax.random.key(seed))["params"]
+    leaves, treedef = jax.tree.flatten(shapes)
+    keys = jax.random.split(jax.random.key(seed), len(leaves))
+    return jax.tree.unflatten(treedef, [
+        jax.random.normal(k, s.shape, dtype) * scale
+        for k, s in zip(keys, leaves)])
+
+
+def bench_pipeline(parts) -> float:
+    """HEADLINE: the real serving path — StableDiffusionPipeline.
+    generate_images (program cache, _materialize_bundle, interceptor
+    wrapping, text encode + denoise scan in ONE jitted program) with
+    SD-2.1-dimension random weights.  Median seconds/step of 3 runs with
+    distinct seeds+prompts (distinct args defeat tunnel replay)."""
+    import json as _json
+    import pathlib
+    import tempfile
+
+    from ml_stable_diffusion_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+    from ml_stable_diffusion_tpu.pipelines.sd import StableDiffusionPipeline
+    from ml_stable_diffusion_tpu.tokenizer import CLIPTokenizer
+
+    cfg, unet_params, _, _, _ = parts
+    model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
+
+    tokdir = pathlib.Path(tempfile.mkdtemp())
+    vocab = {}
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = 49406
+    vocab["<|endoftext|>"] = 49407
+    (tokdir / "vocab.json").write_text(_json.dumps(vocab))
+    (tokdir / "merges.txt").write_text("#version: 0.2\n")
+
+    te_cfg = CLIPTextConfig.sd2()
+    te = CLIPTextEncoder(te_cfg)
+    te_params = _rand_tree(te, (jnp.zeros((1, 77), jnp.int32),), jnp.float32,
+                           seed=1)
+    dec = VAEDecoder(VAEConfig.sd())
+    dec_params = _rand_tree(dec, (jnp.zeros((1, 8, 8, 4)),), jnp.float32,
+                            seed=2)
+
+    pipe = StableDiffusionPipeline(
+        tokenizer=CLIPTokenizer.from_pretrained_dir(tokdir),
+        text_encoder=(te, te_params), unet=(model, unet_params),
+        vae_decoder=(dec, dec_params))
+
+    prompts = ["a photo of an astronaut riding a horse on mars",
+               "a cat wearing a tiny hat", "a watercolor bridge at dawn",
+               "a robot reading in a library"]
+
+    def run_once(i):
+        gen = PipelineConfiguration(
+            prompt=prompts[i % len(prompts)], step_count=STEPS,
+            guidance_scale=GUIDANCE, seed=1000 + i, disable_safety=True,
+            scheduler="DPMSolverMultistep")
+        return pipe.generate_images(gen, image_hw=(512, 512)).seconds_per_step
+
+    run_once(0)  # warmup / compile
+    return 1.0 / _median([run_once(i + 1) for i in range(3)])
 
 
 def bench_palettized6(parts) -> dict:
@@ -172,9 +254,17 @@ def bench_batch4(parts, single_iter_s: float) -> dict:
 
 def main():
     parts = _sd21_parts()
-    iters_per_s = bench_sd21(parts)
+    raw_iter_s = bench_sd21(parts)
+    try:
+        # headline through the REAL pipeline layer (program cache,
+        # generate_images); raw scan stays as a secondary number
+        iters_per_s = bench_pipeline(parts)
+        raw_extra = {"raw_scan_iter_s": round(raw_iter_s, 3)}
+    except Exception as e:
+        iters_per_s = raw_iter_s
+        raw_extra = {"pipeline_error": f"{type(e).__name__}: {e}"[:200]}
 
-    extra = {}
+    extra = dict(raw_extra)
     if os.environ.get("SDTPU_BENCH_EXTRAS", "1") != "0":
         try:
             extra.update(bench_batch4(parts, iters_per_s))
@@ -211,7 +301,9 @@ def main():
             extra["sd3_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
-        "metric": "SD-2.1-base 512x512 diffusion speed (CFG batch 2, 20 steps, DPM++ 2M)",
+        "metric": "SD-2.1-base 512x512 pipeline diffusion speed "
+                  "(generate_images, CFG batch 2, 20 steps, DPM++ 2M, "
+                  "median of 3)",
         "value": round(iters_per_s, 3),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
