@@ -26,7 +26,7 @@ import dataclasses
 import logging
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 
 from .pipelines.config import PipelineConfiguration
 from .pipelines.sd import GenerationResult
@@ -68,6 +68,11 @@ class GenerationServer:
         self._cv = threading.Condition()
         self._batcher: threading.Thread | None = None
         self._closed = False
+        #: executes non-batchable submissions (img2img / controlnet /
+        #: multi-image) off the caller's thread; generation order is still
+        #: serialized by self._lock inside generate()
+        self._direct_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="sdtpu-direct")
 
     def precompile(self, batch_sizes: tuple[int, ...] = (1,)):
         """Trace+compile every configured shape with a dummy prompt.
@@ -122,16 +127,18 @@ class GenerationServer:
         """Enqueue a request; returns a Future[GenerationResult].
 
         Compatible requests arriving within ``batch_window_s`` run as ONE
-        batched program (up to ``max_batch``)."""
-        fut: Future = Future()
-        p = _Pending(cfg, tuple(image_hw), fut)
+        batched program (up to ``max_batch``).  Non-batchable requests
+        (img2img / controlnet / multi-image) dispatch through a worker pool
+        instead of the caller's thread, so ``submit`` never blocks for a
+        full generation."""
+        if self._closed:
+            raise RuntimeError("server is shut down")
         if not self._batchable(cfg):
             # side inputs / multi-image: direct path, still lock-ordered
-            try:
-                fut.set_result(self.generate(cfg, image_hw))
-            except Exception as e:  # pragma: no cover - passthrough
-                fut.set_exception(e)
-            return fut
+            return self._direct_pool.submit(self.generate, cfg,
+                                            tuple(image_hw))
+        fut: Future = Future()
+        p = _Pending(cfg, tuple(image_hw), fut)
         with self._cv:
             if self._closed:
                 raise RuntimeError("server is shut down")
@@ -149,6 +156,7 @@ class GenerationServer:
             self._cv.notify_all()
         if self._batcher is not None:
             self._batcher.join(timeout)
+        self._direct_pool.shutdown(wait=True)
 
     def _take_batch(self) -> list[_Pending]:
         """Wait for work, then collect up to max_batch key-compatible
