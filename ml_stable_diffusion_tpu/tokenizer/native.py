@@ -52,9 +52,17 @@ def _load_lib():
 
 
 class NativeCLIPTokenizer:
-    """Same public surface as tokenizer.bpe.CLIPTokenizer (tokenize/encode)."""
+    """Same public surface as tokenizer.bpe.CLIPTokenizer (tokenize/encode).
 
-    def __init__(self, vocab_path, merges_path, pad_token_id: int | None = None):
+    The C++ path lowercases ASCII only (the reference contract lowercases
+    via Unicode-aware Foundation, BPETokenizer.swift:94-98), so any prompt
+    containing non-ASCII routes to the Python fallback — bit-identical
+    tokenization for e.g. "Ä" vs "ä" at native speed for the (dominant)
+    ASCII serving case.  tests/test_native_tokenizer.py pins native/Python
+    parity over a mixed-case non-ASCII corpus."""
+
+    def __init__(self, vocab_path, merges_path, pad_token_id: int | None = None,
+                 fallback=None):
         if not _LIB_PATH.exists() and build_native() is None:
             raise RuntimeError("native tokenizer library unavailable")
         self._lib = _load_lib()
@@ -66,6 +74,12 @@ class NativeCLIPTokenizer:
         self.bos_id = self._lib.sdtpu_bpe_bos(self._handle)
         self.eos_id = self._lib.sdtpu_bpe_eos(self._handle)
         self.pad_id = self.eos_id if pad_token_id is None else pad_token_id
+        if fallback is None:
+            from .bpe import CLIPTokenizer
+
+            fallback = CLIPTokenizer.from_pretrained_dir(
+                Path(vocab_path).parent)
+        self._fallback = fallback
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -73,6 +87,8 @@ class NativeCLIPTokenizer:
             self._handle = None
 
     def encode(self, text: str) -> list[int]:
+        if not text.isascii():
+            return self._fallback.encode(text)
         buf = (ctypes.c_int32 * 512)()
         n = self._lib.sdtpu_bpe_encode(self._handle, text.encode("utf-8"),
                                        buf, 512)
@@ -100,7 +116,7 @@ def load_tokenizer(directory, pad_token: str = "<|endoftext|>",
     try:
         return NativeCLIPTokenizer(directory / "vocab.json",
                                    directory / "merges.txt",
-                                   pad_token_id=py.pad_id)
+                                   pad_token_id=py.pad_id, fallback=py)
     except (RuntimeError, OSError) as e:
         logger.info("falling back to Python tokenizer: %s", e)
         return py

@@ -87,6 +87,37 @@ def test_native_byte_level_non_ascii_matches_python(tmp_path):
         assert na == nb, prompt
 
 
+def test_native_mixed_case_non_ascii_matches_python(tmp_path):
+    """MIXED-CASE non-ASCII ("Ä" vs "ä") previously diverged: the C++
+    segmenter lowercases ASCII only.  Non-ASCII prompts now route to the
+    Python fallback inside NativeCLIPTokenizer, so the native surface is
+    bit-identical to Python for every input class (reference contract:
+    BPETokenizer.swift:94-98 lowercases Unicode-aware via Foundation)."""
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from test_tokenizer import _byte_level_vocab_files
+
+    d = _byte_level_vocab_files(tmp_path)
+    py = CLIPTokenizer.from_pretrained_dir(d)
+    nat = NativeCLIPTokenizer(d / "vocab.json", d / "merges.txt")
+    for prompt in ["Ä cat", "HÉLLO Wörld", "ÆRØSKØBING", "Über Straße",
+                   "ÉÉÉ mixed ASCII Tail", "ÇA VA? ça va."]:
+        a, na = py.tokenize(prompt, max_length=77)
+        b, nb = nat.tokenize(prompt, max_length=77)
+        np.testing.assert_array_equal(a, b, err_msg=repr(prompt))
+        assert na == nb, prompt
+    # pure-ASCII prompts still take the native path (encode agrees and the
+    # fallback object is not consulted)
+    nat._fallback = None
+    a, _ = py.tokenize("Hello WORLD cat", max_length=77)
+    b, _ = nat.tokenize("Hello WORLD cat", max_length=77)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_native_truncation(native):
     ids, n = native.tokenize("hello " * 100, max_length=10)
     assert ids.shape == (10,)
