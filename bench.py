@@ -31,6 +31,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 import jax.numpy as jnp
+import numpy as np
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.models.unet import UNetConfig, UNet2DConditionModel
@@ -222,10 +223,32 @@ def bench_palettized6(parts) -> dict:
 
     denoise = sdtpu_jit(make_scan(lambda p: p))
     best = _time_best(lambda lat: denoise(dense, lat, context), fresh)
+
+    # WHOLE-bundle shrink (reference palettizes text encoders + denoiser,
+    # torch2coreml.py:185-204; VAE stays dense there too): UNet + CLIP-H
+    # palettized, VAE dense, at fp16-equivalent on-disk bytes
+    from ml_stable_diffusion_tpu.models.clip import (
+        CLIPTextConfig,
+        CLIPTextEncoder,
+    )
+    from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
+
+    te = CLIPTextEncoder(CLIPTextConfig.sd2())
+    te_params = _rand_tree(te, (jnp.zeros((1, 77), jnp.int32),),
+                           jnp.float32, seed=7)
+    _, te_stats = palettize_tree(te_params, 6)
+    vae_elems = sum(
+        int(np.prod(s.shape)) for s in jax.tree.leaves(jax.eval_shape(
+            lambda k: VAEDecoder(VAEConfig.sd()).init(
+                k, jnp.zeros((1, 8, 8, 4))), jax.random.key(0))["params"]))
+    vae_bytes = 2 * vae_elems  # fp16-equivalent dense
+    orig = stats["orig_bytes"] + te_stats["orig_bytes"] + vae_bytes
+    new = stats["new_bytes"] + te_stats["new_bytes"] + vae_bytes
     return {
         "palettized6_iter_s": round(STEPS / best, 3),
         "palettized6_payload_shrink": round(
             stats["orig_bytes"] / max(stats["new_bytes"], 1), 2),
+        "palettized6_bundle_shrink": round(orig / max(new, 1), 2),
         "palettized6_mode": "install-dequant",
     }
 

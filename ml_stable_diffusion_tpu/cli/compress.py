@@ -47,6 +47,29 @@ def parser_spec():
     app.add_argument("-i", "--checkpoint", required=True)
     app.add_argument("--recipe", required=True)
     app.add_argument("-o", "--output-dir", required=True)
+
+    # W8A8 toolchain (reference activation_quantization.py:342-448:
+    # calibration-data capture over fixed prompts, then per-layer +
+    # cumulative quantization behind PSNR gates)
+    cal = sub.add_parser("w8a8-calibrate")
+    cal.add_argument("-i", "--checkpoint", required=True)
+    cal.add_argument("-o", "--output-json", required=True)
+    cal.add_argument("--size", default="512x512")
+    cal.add_argument("--probe-prompts", type=int, default=8)
+
+    w8a = sub.add_parser("w8a8-analyze")
+    w8a.add_argument("-i", "--checkpoint", required=True)
+    w8a.add_argument("--scales", required=True,
+                     help="calibrated {module_path: absmax} JSON from "
+                          "w8a8-calibrate")
+    w8a.add_argument("-o", "--output-json", required=True)
+    w8a.add_argument("--conv-psnr", type=float, default=40.0,
+                     help="PSNR gate for non-attention layers (reference "
+                          "activation_quantization.py:491)")
+    w8a.add_argument("--attn-psnr", type=float, default=30.0,
+                     help="PSNR gate for attention projections (:495)")
+    w8a.add_argument("--size", default="512x512")
+    w8a.add_argument("--probe-prompts", type=int, default=8)
     return p
 
 
@@ -98,6 +121,57 @@ def run(args):
         logger.info("recipe applied (stored compressed) -> %s",
                     args.output_dir)
 
+    elif args.cmd == "w8a8-calibrate":
+        from ..compress.w8a8 import capture_activation_scales
+
+        model, params = _load_unet(args.checkpoint)
+        latents, t, ctx = _probe_batch(model, args)
+        # eager apply (the interceptor records concrete absmax per module)
+        scales = capture_activation_scales(
+            lambda inp: model.apply({"params": params}, *inp),
+            [(latents, t, ctx)])
+        Path(args.output_json).write_text(json.dumps(
+            {k: round(v, 6) for k, v in sorted(scales.items())}, indent=1))
+        logger.info("calibrated %d module scales -> %s", len(scales),
+                    args.output_json)
+
+    elif args.cmd == "w8a8-analyze":
+        import flax.linen as nn
+
+        from ..compress.w8a8 import (
+            benchmark_w8a8,
+            build_w8a8_recipe,
+            quantizable_dense_paths,
+        )
+
+        model, params = _load_unet(args.checkpoint)
+        scales = json.loads(Path(args.scales).read_text())
+        latents, t, ctx = _probe_batch(model, args)
+
+        def run_fn(interceptor):
+            if interceptor is None:
+                return model.apply({"params": params}, latents, t, ctx)
+            with nn.intercept_methods(interceptor):
+                return model.apply({"params": params}, latents, t, ctx)
+
+        single = benchmark_w8a8(run_fn, scales, cumulative=False)
+        recipe = build_w8a8_recipe(single, scales, conv_psnr=args.conv_psnr,
+                                   attn_psnr=args.attn_psnr)
+        # cumulative pass over the kept layers in ascending impact
+        # (highest single-layer PSNR first — the reference's ordering)
+        kept = [p for p in quantizable_dense_paths(scales)
+                if p not in set(recipe["skip"])]
+        kept.sort(key=lambda k: -single.get(k, 0.0))
+        cumulative = (benchmark_w8a8(run_fn, scales, paths=kept,
+                                     cumulative=True) if kept else {})
+        final = min(cumulative.values()) if cumulative else None
+        Path(args.output_json).write_text(json.dumps(
+            {**recipe, "single_layer": single, "cumulative": cumulative,
+             "final_cumulative_psnr": final}, indent=1))
+        logger.info("w8a8 analysis: %d kept / %d skipped, cumulative "
+                    "PSNR %s -> %s", len(kept), len(recipe["skip"]),
+                    final, args.output_json)
+
 
 #: fixed probe prompts spanning subjects/styles — the reference measures
 #: sensitivity end-to-end over 8 fixed prompts with synced RNG
@@ -115,10 +189,11 @@ PROBE_PROMPTS = (
 )
 
 
-def _one_step_runner(model, args):
-    """1-step denoise output over the fixed probe prompts with real text
-    conditioning and synced RNG — the reference's signal-integrity probe
-    (pre_analysis.py run_pipe :248: one step, fixed latents, 8 prompts)."""
+def _probe_batch(model, args):
+    """(latents, t, ctx) over the fixed probe prompts with real text
+    conditioning and synced RNG — the shared probe of the MBP and W8A8
+    tools (reference pre_analysis.py run_pipe :248 / activation_
+    quantization.py generate_calibration_data :37-55)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -151,6 +226,14 @@ def _one_step_runner(model, args):
     latents = jax.random.normal(jax.random.key(0),
                                 (P, h, w, cfg.in_channels))
     t = jnp.full((P,), 500.0)
+    return latents, t, ctx
+
+
+def _one_step_runner(model, args):
+    """1-step denoise output over the probe batch, jitted (MBP sweeps)."""
+    import jax
+
+    latents, t, ctx = _probe_batch(model, args)
 
     @jax.jit
     def forward(p):

@@ -185,11 +185,17 @@ def run(args):
         return tree
 
     # -- text encoders ----------------------------------------------------------
+    # --quantize-nbits palettizes the text encoders too, like the reference
+    # (torch2coreml.py:185-204 palettizes text_encoder/text_encoder_2/unet/
+    # refiner/controlnets); artifacts dequantize at load (install-mode
+    # serving — the measured-fast design, pipelines/sd.py install_palettized)
     if (all_ or args.convert_text_encoder) and not exists("TextEncoder"):
         if (src / "text_encoder").exists():
             model, params = load.load_text_encoder(
                 src / "text_encoder", with_projection=True if is_sd3 else None)
             parity("clip", src / "text_encoder", model, params)
+            if args.quantize_nbits:
+                params = quantized(params)
             save("TextEncoder", params, model.config)
         else:
             logger.info("no text_encoder/ in checkpoint (refiner-only XL)")
@@ -198,6 +204,8 @@ def run(args):
         model, params = load.load_text_encoder(src / "text_encoder_2",
                                                with_projection=True)
         parity("clip", src / "text_encoder_2", model, params)
+        if args.quantize_nbits:
+            params = quantized(params)
         save("TextEncoder2", params, model.config)
     if ((all_ and is_sd3) or args.convert_t5) \
             and (src / "text_encoder_3").exists() and not exists("TextEncoderT5"):
@@ -280,6 +288,8 @@ def run(args):
             continue
         model, params = load.load_controlnet(cn_dir)
         parity("controlnet", cn_dir, model, params)
+        if args.quantize_nbits:
+            params = quantized(params)
         save(name, params, model.config)
 
     if args.convert_multilingual_projection:

@@ -161,10 +161,20 @@ def run(args) -> list:
     if args.w8a8:
         import json as _json
 
-        scales = None
+        scales, extra_kw = None, {}
         if args.w8a8_scales:
-            scales = _json.loads(Path(args.w8a8_scales).read_text())
-        pipe.enable_w8a8(scales)
+            data = _json.loads(Path(args.w8a8_scales).read_text())
+            if "act_scales" in data:
+                # w8a8-analyze recipe: calibrated scales + skip list of
+                # layers that failed the reference's 40/30 dB class gates
+                from ..compress.w8a8 import DEFAULT_SKIP_PATTERNS
+
+                scales = data["act_scales"]
+                extra_kw["skip_patterns"] = (tuple(DEFAULT_SKIP_PATTERNS)
+                                             + tuple(data.get("skip", ())))
+            else:  # flat {module_path: absmax} from w8a8-calibrate
+                scales = data
+        pipe.enable_w8a8(scales, **extra_kw)
     if args.reduce_memory:
         pipe.offload_params_to_host()
 

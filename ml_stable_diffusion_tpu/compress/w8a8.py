@@ -146,6 +146,25 @@ def benchmark_w8a8(run_fn: Callable, act_scales: dict[str, float],
     return results
 
 
+def build_w8a8_recipe(single_psnr: dict[str, float],
+                      act_scales: dict[str, float],
+                      conv_psnr: float = 40.0,
+                      attn_psnr: float = 30.0) -> dict:
+    """Threshold rule of the reference's tool (activation_quantization.py
+    :491-500, defaults --conv-psnr 40 / --attn-psnr 30): a layer stays
+    quantized only while its single-layer PSNR holds the class threshold
+    (attention projections 30 dB, everything else 40 dB); the rest go on
+    the skip list.  The returned recipe is what ``cli/generate.py
+    --w8a8-scales`` consumes."""
+    skip = []
+    for key, psnr in single_psnr.items():
+        thr = attn_psnr if "attn" in key else conv_psnr
+        if psnr < thr:
+            skip.append(key)
+    return {"act_scales": dict(act_scales), "skip": sorted(skip),
+            "thresholds": {"conv_psnr": conv_psnr, "attn_psnr": attn_psnr}}
+
+
 def quantize_dense_weights_int8(variables_fn: Callable, paths: list[str]):
     """Pre-quantize selected Dense kernels to int8 for serving.
 
