@@ -71,6 +71,7 @@ def test_convert_cli(sd_checkpoint, tmp_path):
     assert (tmp_path / "vocab.json").exists()
 
 
+@pytest.mark.slow
 def test_convert_quantize_whole_bundle(sd_checkpoint, tmp_path):
     """--quantize-nbits palettizes the WHOLE bundle like the reference
     (torch2coreml.py:185-204: text encoders + denoiser; VAE stays dense),
@@ -100,6 +101,7 @@ def test_convert_quantize_whole_bundle(sd_checkpoint, tmp_path):
     assert np.isfinite(res.latents).all()
 
 
+@pytest.mark.slow
 def test_compress_cli_mbp_flow(sd_checkpoint, tmp_path):
     analysis = tmp_path / "analysis.json"
     args = cli_compress.parser_spec().parse_args([
@@ -111,6 +113,17 @@ def test_compress_cli_mbp_flow(sd_checkpoint, tmp_path):
     # tiny unet: kernels below the default min size -> may be empty, but the
     # file and structure must exist
     assert "single_layer" in data
+    # baseline variants ride in the analysis (pre_analysis.py:376-434)
+    assert set(data["baselines"]) == {"serving_bf16", "linear_8bit"}
+    assert data["baselines"]["serving_bf16"] > 20.0
+
+    report_md = tmp_path / "report.md"
+    args = cli_compress.parser_spec().parse_args([
+        "mbp-report", "-i", str(analysis), "--checkpoint",
+        str(sd_checkpoint), "-o", str(report_md),
+    ])
+    cli_compress.run(args)
+    assert "Mixed-bit palettization report" in report_md.read_text()
 
     recipe_json = tmp_path / "recipe.json"
     args = cli_compress.parser_spec().parse_args([
@@ -129,6 +142,7 @@ def test_compress_cli_mbp_flow(sd_checkpoint, tmp_path):
     assert (out_dir / "Unet.safetensors").exists()
 
 
+@pytest.mark.slow
 def test_w8a8_calibrate_analyze_generate_roundtrip(sd_checkpoint, tmp_path):
     """The reference's calibrate -> sweep-with-gates -> serve flow
     (activation_quantization.py:342-448): w8a8-calibrate writes real

@@ -42,6 +42,9 @@ from ml_stable_diffusion_tpu.ops.palettized import (
 )
 
 
+#: heavy E2E/sweep file — excluded from the fast default profile
+pytestmark = pytest.mark.slow
+
 def test_palettize_array_quality_ladder():
     rng = np.random.RandomState(0)
     w = rng.randn(256, 512).astype(np.float32)

@@ -194,6 +194,7 @@ def test_port_structure_roundtrip():
         assert flat_g[k] == tuple(shape), (k, flat_g[k], shape)
 
 
+@pytest.mark.slow
 def test_sd3_pipeline_with_controlnet(tmp_path_factory=None):
     """E2E: the SD3 pipeline VAE-encodes the control image, runs the control
     branch each step, and the control input changes the generated latents

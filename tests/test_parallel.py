@@ -63,6 +63,7 @@ def test_sharded_unet_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_step_remat_matches():
     """remat=True must compute the same loss (only memory behavior differs)."""
     model, params = tiny_unet()
@@ -83,6 +84,7 @@ def test_train_step_remat_matches():
     assert np.isclose(losses[0], losses[1], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_forward_matches_single_device():
     """Spatial (sequence) parallelism: latent H sharded over 'tp'; GSPMD's
     conv halo exchanges + attention gathers must reproduce the unsharded
@@ -202,6 +204,7 @@ def test_sharded_t5_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_generate_matches_single_device(tmp_path):
     """pipe.shard(mesh): the FULL generation program (encode -> denoise scan
     -> decode) runs under GSPMD and reproduces single-device latents."""
@@ -224,6 +227,7 @@ def test_sharded_pipeline_generate_matches_single_device(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_reduces_loss():
     model, params = tiny_unet()
     mesh = make_mesh(8, dp=2)

@@ -17,6 +17,9 @@ from ml_stable_diffusion_tpu.utils.latent_preview import latent_to_rgb_preview
 
 from helpers import CTX_DIM, tiny_text_encoder, tiny_tokenizer
 
+#: heavy E2E/sweep file — excluded from the fast default profile
+pytestmark = pytest.mark.slow
+
 POOLED = 32  # per encoder projection dim
 MM_CTX = 128  # context width: 2*CTX_DIM zero-padded + matches T5 d_model
 T5_DM = 128

@@ -14,6 +14,9 @@ from ml_stable_diffusion_tpu.pipelines.sdxl import StableDiffusionXLPipeline
 
 from helpers import CTX_DIM, tiny_text_encoder, tiny_tokenizer, tiny_vae
 
+#: heavy E2E/sweep file — excluded from the fast default profile
+pytestmark = pytest.mark.slow
+
 POOLED_DIM = 32
 XL_CTX = CTX_DIM * 2  # te1 penultimate + te2 penultimate
 

@@ -43,6 +43,9 @@ from helpers import (
     randomize_params,
 )
 
+#: heavy E2E/sweep file — excluded from the fast default profile
+pytestmark = pytest.mark.slow
+
 TINY_SD = UNetConfig(
     block_out_channels=(32, 64),
     down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
