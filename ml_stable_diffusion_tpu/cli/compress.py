@@ -43,6 +43,16 @@ def parser_spec():
     build.add_argument("-o", "--output-json", required=True)
     build.add_argument("--psnr-threshold", type=float, default=40.0)
 
+    rep = sub.add_parser("mbp-report",
+                         help="size/quality tradeoff table from an analysis "
+                              "(the reference's PSNR-vs-size plot, "
+                              "pre_analysis.py:501-507, as markdown)")
+    rep.add_argument("-i", "--analysis-json", required=True)
+    rep.add_argument("--checkpoint", required=True)
+    rep.add_argument("-o", "--output-md", required=True)
+    rep.add_argument("--psnr-thresholds", type=float, nargs="*",
+                     default=[35.0, 40.0, 45.0])
+
     app = sub.add_parser("mbp-apply")
     app.add_argument("-i", "--checkpoint", required=True)
     app.add_argument("--recipe", required=True)
@@ -98,19 +108,37 @@ def run(args):
         logger.info("palettized (stored compressed): %s", stats)
 
     elif args.cmd == "mbp-analyze":
+        from ..compress.mixed_bit import benchmark_baselines
+
         model, params = _load_unet(args.checkpoint)
         run_fn = _one_step_runner(model, args)
-        benchmark_signal_integrity(run_fn, params,
-                                   nbits_list=tuple(args.nbits),
-                                   cumulative=args.cumulative,
-                                   out_json=args.output_json)
-        logger.info("analysis written to %s", args.output_json)
+        results = benchmark_signal_integrity(run_fn, params,
+                                             nbits_list=tuple(args.nbits),
+                                             cumulative=args.cumulative,
+                                             out_json=args.output_json)
+        # reference pre-analysis emits baseline variants next to the sweeps
+        # (original/serving-dtype + linear 8-bit, pre_analysis.py:376-434)
+        results["baselines"] = benchmark_baselines(run_fn, params)
+        Path(args.output_json).write_text(json.dumps(results, indent=1))
+        logger.info("analysis + baselines written to %s", args.output_json)
 
     elif args.cmd == "mbp-build-recipe":
         analysis = json.loads(Path(args.analysis_json).read_text())
         recipe = build_recipe(analysis["single_layer"], args.psnr_threshold)
         Path(args.output_json).write_text(json.dumps(recipe, indent=1))
         logger.info("recipe written to %s", args.output_json)
+
+    elif args.cmd == "mbp-report":
+        from ..compress.mixed_bit import mbp_report
+
+        analysis = json.loads(Path(args.analysis_json).read_text())
+        _, params = _load_unet(args.checkpoint)
+        recipes = {f"recipe_{t:g}dB": build_recipe(analysis["single_layer"], t)
+                   for t in args.psnr_thresholds}
+        md = mbp_report(analysis["single_layer"], recipes, params,
+                        baselines=analysis.get("baselines"))
+        Path(args.output_md).write_text(md)
+        logger.info("report written to %s", args.output_md)
 
     elif args.cmd == "mbp-apply":
         model, params = _load_unet(args.checkpoint)

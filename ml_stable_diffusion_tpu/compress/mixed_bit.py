@@ -108,6 +108,81 @@ def benchmark_signal_integrity(run_fn: Callable, params,
     return results
 
 
+def _linear_quantize_int8(w: np.ndarray) -> np.ndarray:
+    """Uniform symmetric per-tensor int8 fake quantization (the reference's
+    linear-8-bit baseline variant, pre_analysis.py:376-434)."""
+    scale = max(float(np.abs(w).max()), 1e-8) / 127.0
+    return (np.clip(np.round(w / scale), -127, 127) * scale).astype(w.dtype)
+
+
+def benchmark_baselines(run_fn: Callable, params, paths=None) -> dict:
+    """PSNR anchors the reference's pre-analysis emits next to the sweeps
+    (pre_analysis.py:376-434): the serving-dtype cast ("original") and a
+    uniform linear-8-bit weight quantization.  Sweep numbers only mean
+    something relative to these."""
+    import jax.numpy as jnp
+
+    if paths is None:
+        paths = palettizable_paths(params)
+    ref = np.asarray(run_fn(params))
+
+    def cast_leaf(x):
+        if hasattr(x, "astype") and np.asarray(x).dtype.kind == "f":
+            return np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+        return x
+
+    bf16 = jax.tree.map(cast_leaf, params)
+    out = {"serving_bf16": round(compute_psnr(
+        np.asarray(run_fn(bf16)), ref), 2)}
+
+    q = params
+    for p in paths:
+        q = _set(q, p, _linear_quantize_int8(np.asarray(_get(q, p))))
+    out["linear_8bit"] = round(compute_psnr(np.asarray(run_fn(q)), ref), 2)
+    return out
+
+
+def recipe_estimated_psnr(recipe: dict, single_layer: dict) -> float:
+    """Conservative quality proxy for a recipe: the worst single-layer PSNR
+    among the chosen bit widths (the cumulative sweep gives the measured
+    number; this reads directly off the single-layer analysis)."""
+    worst = float("inf")
+    for key, nbits in recipe.items():
+        if nbits >= 16:
+            continue
+        worst = min(worst, single_layer[key][str(nbits)])
+    return worst if worst != float("inf") else 999.0
+
+
+def mbp_report(single_layer: dict, recipes: dict, params,
+               baselines: dict | None = None) -> str:
+    """Human-readable size/quality tradeoff report (markdown).
+
+    The reference renders a PSNR-vs-size matplotlib plot
+    (pre_analysis.py:501-507); the same decision data lands here as a table
+    (no plotting dependency in the serving image)."""
+    total = sum(int(np.prod(np.asarray(_get(params, tuple(k.split("/")))
+                                       ).shape)) for k in single_layer)
+    lines = ["# Mixed-bit palettization report", ""]
+    if baselines:
+        lines += ["Baselines: " + ", ".join(
+            f"{k} = {v} dB" for k, v in baselines.items()), ""]
+    lines += [
+        "| recipe | avg bits | est. payload (MB) | worst single-layer PSNR (dB) |",
+        "|---|---|---|---|",
+    ]
+    for name, recipe in sorted(recipes.items()):
+        bits = recipe_average_bits(recipe, params)
+        mb = total * bits / 8 / 2**20
+        lines.append(f"| {name} | {bits:.2f} | {mb:.1f} | "
+                     f"{recipe_estimated_psnr(recipe, single_layer):.1f} |")
+    lines.append("")
+    lines.append(f"(analyzed layers: {len(single_layer)}, "
+                 f"{total / 1e6:.1f}M weights; payload at fp16-equivalent "
+                 "storage for unpalettized layers)")
+    return "\n".join(lines)
+
+
 def descending_psnr_order(single_layer: dict, nbits: int = 1):
     """Layer keys in ascending impact order (highest PSNR under 1-bit quant
     first — reference descending_psnr_order pre_analysis.py:329)."""
