@@ -320,6 +320,12 @@ def main():
             import bench_sd3
 
             extra["sd3_1024_e2e_s"] = round(bench_sd3.run(), 3)
+            # full-capability SD3 path: + the T5-XXL encode (runs once per
+            # generation outside the denoise loop, timed as its own program)
+            t5_s = bench_sd3.run_t5_encode()
+            extra["sd3_t5_xxl_encode_s"] = round(t5_s, 3)
+            extra["sd3_1024_e2e_with_t5_s"] = round(
+                extra["sd3_1024_e2e_s"] + t5_s, 3)
         except Exception as e:
             extra["sd3_error"] = f"{type(e).__name__}: {e}"[:200]
 
