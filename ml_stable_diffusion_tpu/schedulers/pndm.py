@@ -34,15 +34,27 @@ class PNDMScheduler(Scheduler):
         acp = cfg.alphas_cumprod()
         final_alpha = acp[0]  # set_alpha_to_one=False for SD
 
-        N = len(plms)  # = S + 1
-        t_eval = plms.astype(np.float64)  # model is called at these
+        # img2img resume: the reference pipeline slices the front of the
+        # descending PLMS array (timesteps[t_start * order:]) and the
+        # scheduler's counter machinery restarts from 0, so the warmup
+        # stash/restore/midpoint-corrector quirk REPLAYS at the resume
+        # point.  One construction therefore covers fresh AND resumed
+        # trajectories: take ts = plms[start:], apply the counter==1
+        # re-targeting to ts[1] (for the fresh case ts[1] + ratio == ts[0]
+        # because of the duplicated row — the same formula).
+        start = strength_slice(num_inference_steps, strength)
+        ts = plms[start:]
+        N = len(ts)  # = S + 1 - start
+
+        t_eval = ts.astype(np.float64)  # model is called at these
         # (timestep, prev_timestep) pairs for the update formula.
-        t_upd = plms.copy()
-        t_prev = plms - ratio
+        t_upd = ts.copy()
+        t_prev = ts - ratio
         if N >= 2:
-            # counter==1: update re-targets from the *first* timestep again
-            t_upd[1] = plms[0]
-            t_prev[1] = plms[0] - ratio
+            # counter==1: the update re-targets the SAME interval again
+            # (diffusers step_plms: prev_timestep = timestep; timestep += ratio)
+            t_upd[1] = ts[1] + ratio
+            t_prev[1] = ts[1]
 
         a_t = acp[np.clip(t_upd, 0, None)]
         a_p = np.where(t_prev >= 0, acp[np.clip(t_prev, 0, None)], final_alpha)
@@ -53,6 +65,7 @@ class PNDMScheduler(Scheduler):
 
         # epsilon-combination weights on [e_current, m0, m1, m2, m3]
         # (m0 = newest ring entry AFTER this step's conditional append).
+        # Identical for fresh and resumed runs — the counter restarts.
         w = np.zeros((N, 5))
         for i in range(N):
             if i == 0:
@@ -68,25 +81,7 @@ class PNDMScheduler(Scheduler):
 
         # v-prediction -> epsilon conversion coefficients at the *evaluation*
         # timestep: eps = sqrt(acp)*v + sqrt(1-acp)*x.
-        a_eval = acp[np.clip(plms, 0, None)]
-
-        start = strength_slice(num_inference_steps, strength)
-        # slicing removes warmup rows; when resuming mid-trajectory (img2img)
-        # the scan restarts its counter, matching diffusers' re-set behavior.
-        if start > 0:
-            sl = slice(start + 1, None)  # drop the duplicated warmup row too
-            t_eval = t_eval[sl]
-            sample_coeff, mo_denom, alpha_diff = sample_coeff[sl], mo_denom[sl], alpha_diff[sl]
-            a_eval = a_eval[sl]
-            N = len(t_eval)
-            # fresh warmup without the duplicated step: order ramps 1->4
-            order_rows = [
-                [0, 1, 0, 0, 0],
-                [0, 3 / 2, -1 / 2, 0, 0],
-                [0, 23 / 12, -16 / 12, 5 / 12, 0],
-                [0, 55 / 24, -59 / 24, 37 / 24, -9 / 24],
-            ]
-            w = np.array([order_rows[min(i, 3)] for i in range(N)])
+        a_eval = acp[np.clip(ts, 0, None)]
 
         tables = {
             "sample_coeff": jnp.asarray(sample_coeff, jnp.float32),
@@ -95,7 +90,6 @@ class PNDMScheduler(Scheduler):
             "weights": jnp.asarray(w, jnp.float32),
             "sqrt_a_eval": jnp.asarray(np.sqrt(a_eval), jnp.float32),
             "sqrt_1m_a_eval": jnp.asarray(np.sqrt(1 - a_eval), jnp.float32),
-            "resumed": jnp.asarray(start > 0),
         }
         return SchedulerPlan(
             timesteps=jnp.asarray(t_eval, jnp.float32),
@@ -111,23 +105,21 @@ class PNDMScheduler(Scheduler):
         }
 
     def step(self, plan, state, model_output, i, sample, noise=None):
-        resumed = plan.table("resumed")
-
         if self.config.prediction_type == PredictionType.V_PREDICTION:
             model_output = (plan.table("sqrt_a_eval")[i] * model_output
                             + plan.table("sqrt_1m_a_eval")[i] * sample)
 
-        # warmup special cases only exist on the non-resumed trajectory
-        warmup_stash = jnp.logical_and(jnp.logical_not(resumed), i == 0)
-        warmup_restore = jnp.logical_and(jnp.logical_not(resumed), i == 1)
-        append = jnp.logical_or(resumed, i != 1)
+        # warmup quirk (counter 0/1) applies to every trajectory — on
+        # img2img resume the reference scheduler's counter restarts from 0
+        warmup_stash = i == 0
+        warmup_restore = i == 1
+        append = i != 1
 
         cur_sample = jnp.where(warmup_stash, sample, state["cur_sample"])
         upd_sample = jnp.where(warmup_restore, cur_sample, sample)
 
         # ring append
-        slot = jnp.where(resumed, i % 4,
-                         jnp.where(i == 0, 0, (i - 1) % 4)).astype(jnp.int32)
+        slot = jnp.where(i == 0, 0, (i - 1) % 4).astype(jnp.int32)
         ets = jnp.where(append, state["ets"].at[slot].set(model_output), state["ets"])
         newest = slot  # on the skipped append (i==1) slot==0 == newest anyway
 
