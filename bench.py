@@ -194,15 +194,36 @@ def bench_pipeline(parts) -> float:
                "a cat wearing a tiny hat", "a watercolor bridge at dawn",
                "a robot reading in a library"]
 
-    def run_once(i):
+    def run_once(i, steps=STEPS):
         gen = PipelineConfiguration(
-            prompt=prompts[i % len(prompts)], step_count=STEPS,
+            prompt=prompts[i % len(prompts)], step_count=steps,
             guidance_scale=GUIDANCE, seed=1000 + i, disable_safety=True,
             scheduler="DPMSolverMultistep")
-        return pipe.generate_images(gen, image_hw=(512, 512)).seconds_per_step
+        r = pipe.generate_images(gen, image_hw=(512, 512))
+        return r.seconds_per_step * steps
 
     run_once(0)  # warmup / compile
-    return 1.0 / _median([run_once(i + 1) for i in range(3)])
+    headline = 1.0 / (_median([run_once(i + 1) for i in range(3)]) / STEPS)
+
+    # Fixed-vs-marginal split: the generation includes per-call costs the
+    # denoise loop doesn't scale with (text encode; on this dev host also a
+    # ~30-45 ms axon-tunnel round trip for the latent fetch — CLAUDE.md:
+    # block_until_ready alone does not force that sync).  Slope over two
+    # step counts isolates the true per-step cost.
+    slope_extra = {}
+    try:
+        run_once(0, steps=2 * STEPS)  # warmup / compile the 40-step program
+        t40 = _median([run_once(i + 1, steps=2 * STEPS) for i in range(2)])
+        t20 = _median([run_once(i + 10) for i in range(2)])
+        slope = (t40 - t20) / STEPS
+        slope_extra = {
+            "pipeline_marginal_iter_s": round(1.0 / slope, 3),
+            "pipeline_fixed_overhead_ms": round((t20 - STEPS * slope) * 1e3,
+                                                1),
+        }
+    except Exception as e:  # never lose the headline
+        slope_extra = {"pipeline_slope_error": f"{type(e).__name__}: {e}"[:200]}
+    return headline, slope_extra
 
 
 def bench_palettized6(parts) -> dict:
@@ -281,8 +302,8 @@ def main():
     try:
         # headline through the REAL pipeline layer (program cache,
         # generate_images); raw scan stays as a secondary number
-        iters_per_s = bench_pipeline(parts)
-        raw_extra = {"raw_scan_iter_s": round(raw_iter_s, 3)}
+        iters_per_s, slope_extra = bench_pipeline(parts)
+        raw_extra = {"raw_scan_iter_s": round(raw_iter_s, 3), **slope_extra}
     except Exception as e:
         iters_per_s = raw_iter_s
         raw_extra = {"pipeline_error": f"{type(e).__name__}: {e}"[:200]}
