@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.activations import gelu_tanh
-from ..ops.attention import dot_product_attention
+from ..ops.attention import joint_dot_product_attention
 from .unet import TimestepEmbedding, get_timestep_embedding
 
 
@@ -112,13 +112,16 @@ class JointTransformerBlock(nn.Module):
             q_c = _RMSNorm(Dh, dtype=self.dtype, name="norm_added_q")(q_c)
             k_c = _RMSNorm(Dh, dtype=self.dtype, name="norm_added_k")(k_c)
 
-        # joint attention over [latent, context] (MMDiT paper fig. 2)
-        q = jnp.concatenate([q_x, q_c], axis=1)
+        # joint attention over [latent, context] (MMDiT paper fig. 2) — the
+        # latent and context query streams share one packed KV; keeping the
+        # streams separate lets the flash path tile the 4096-row latent axis
+        # exactly instead of padding the ragged 4250-row concat (see
+        # ops/attention.joint_dot_product_attention)
         k = jnp.concatenate([k_x, k_c], axis=1)
         v = jnp.concatenate([v_x, v_c], axis=1)
-        attn = dot_product_attention(q, k, v)
-        attn_x = attn[:, :Nx].reshape(B, Nx, D)
-        attn_c = attn[:, Nx:].reshape(B, Nc, D)
+        attn_x, attn_c = joint_dot_product_attention([q_x, q_c], k, v)
+        attn_x = attn_x.reshape(B, Nx, D)
+        attn_c = attn_c.reshape(B, Nc, D)
 
         x = x + g1[:, None] * nn.Dense(D, dtype=self.dtype, name="to_out_0")(attn_x)
         xm2 = _modulate(ln("norm2")(x), sh2, sc2)

@@ -96,3 +96,32 @@ def dot_product_attention(q, k, v, bias=None, causal=False,
 
         return flash_attention(q, k, v, bias=bias, causal=causal)
     return _xla_attention(q, k, v, bias=bias, causal=causal)
+
+
+def joint_dot_product_attention(q_streams, k, v,
+                                impl: AttentionImpl | str = AttentionImpl.AUTO):
+    """Joint attention: several query streams over ONE shared (B, Sk, H, D)
+    KV (MMDiT latent+context joint attention).  Returns one output per
+    stream — semantically identical to concatenating the streams along the
+    sequence axis, attending, and splitting, but the flash path packs KV
+    once and keeps each stream's tile padding exact
+    (ops/flash_attention.flash_attention_multi_q)."""
+    impl = AttentionImpl(impl)
+    if impl == AttentionImpl.AUTO:
+        impl = ATTENTION_IMPLEMENTATION_IN_EFFECT
+    if impl == AttentionImpl.AUTO:
+        impl = (AttentionImpl.FLASH
+                if _flash_qualifies(q_streams[0], k) else AttentionImpl.XLA)
+    if impl == AttentionImpl.FLASH:
+        from .flash_attention import flash_attention_multi_q
+
+        return flash_attention_multi_q(q_streams, k, v)
+    q = jnp.concatenate(q_streams, axis=1)
+    out = _xla_attention(q, k, v)
+    sizes = [s.shape[1] for s in q_streams]
+    splits = []
+    off = 0
+    for s in sizes:
+        splits.append(out[:, off:off + s])
+        off += s
+    return splits

@@ -56,8 +56,8 @@ _EXP_BF16 = os.environ.get("SDTPU_FLASH_EXP_BF16", "0") == "1"
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
-                  scale, kv_len, block_k, d_out):
-    """Online-softmax tile, two VPU-economies vs the textbook form:
+                  scale, d_out):
+    """Online-softmax tile, three VPU-economies vs the textbook form:
 
     - base-2 softmax: the logit scale folds log2(e) in, so the exponent is
       a raw ``exp2`` and the per-element multiply by 1/ln2 disappears from
@@ -67,7 +67,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
       V (D 64 -> 65 stays inside one 128-wide MXU pass), replacing a
       full-tile VPU row-sum with a free MXU column — and making the
       normalizer numerically consistent with the numerator (both sum the
-      SAME bf16-rounded probabilities).
+      SAME bf16-rounded probabilities);
+    - the ones-column IS the KV-padding mask: the wrapper zeroes it (and V)
+      on padded rows, so padded columns contribute exactly 0 to numerator
+      AND normalizer — no in-kernel iota/compare/select.  The old explicit
+      mask ran 3 extra VPU passes over EVERY (Bq, Bk) tile (~3 us/tile at
+      1024x1024 — comparable to the tile's matmul time at D=64, measured
+      r3).  Padded K rows are zero, so their logit is 0; the running max
+      therefore never drops below 0, which only tightens the exp2 shift —
+      the shift cancels exactly in the final acc/normalizer ratio, so the
+      result is bit-comparable (f32 max-shift invariance) to the masked
+      form for any real logit above exp2 underflow (~-126).
     """
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -79,16 +89,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
 
     q = q_ref[0]
     k = k_ref[0]
-    v = v_ref[0]  # (Bk, D+1): last column is ones (padded by the wrapper)
+    v = v_ref[0]  # (Bk, D+1): last column is ones / 0 on padded rows
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (Bq, Bk), base-2 logits
-
-    if kv_len % block_k != 0:
-        # mask the padded KV tail (cross-attention 77 -> 128)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col + j * block_k < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -113,22 +118,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref, *,
                     / acc_ref[:, d_out:d_out + 1]).astype(o_ref.dtype)
 
 
-def _pick_block(s: int, preferred: int) -> int:
-    b = min(s, preferred)
-    while s % b:
-        b //= 2
-    return max(b, 1)
+def _choose_tile(s: int, cap: int):
+    """Fewest-tiles 128-multiple block under ``cap`` -> (block, padded_len).
+
+    The padded length is the 128 lane quantum rounded up to the tile count —
+    NOT to a power-of-two tile — so ragged sequences pad by at most one
+    128-row quantum per tile.  Tiles are any multiple of 128 (Mosaic only
+    needs sublane×lane alignment), which is what makes this exact: the
+    MMDiT joint-attention KV axis (4096 latent + 154 context = 4250 rows,
+    padded128 = 4352 = 34×128) tiles as 2×2176 with the SAME +2.4% pad a
+    256-tile layout pays, where power-of-two tiles must choose between
+    256×17 (tiny tiles) and 1024×5 (+20% FLOPs).  Measured on-chip at that
+    shape (B2 H24 D64, r3, production multi-q dispatch, ~75 ms host-sync
+    floor shared by every row): bk 2176/pad 4352 78.2-78.9 ms, 1024/5120
+    79.7, 512/4608 80.6, XLA 97.7 — and the earlier power-of-two sweep
+    (256x256 46.4 / 512x512 44.8 / 1024x1024 42.8 / 1024x2048 43.8 ms on a
+    ~40 ms floor) showing tile size dominating pad waste up to ~1/4.
+    Exact-multiple shapes are unchanged: 4096 under cap 2304 -> 2×2048,
+    under cap 1024 -> 4×1024; 77 -> 1×128.  Caps come from
+    ``_default_tiles`` (VMEM: the f32 logits tile is bq×bk×4 bytes)."""
+    padded128 = -(-s // 128) * 128
+    n = 1
+    while True:
+        b = -(-padded128 // (128 * n)) * 128
+        if b <= cap:
+            return b, n * b
+        n += 1
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "kv_len",
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret"))
-def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
+def _flash_bhsd(q, k, v, block_q: int, block_k: int,
                 interpret: bool = False):
     """q (BH, Sq, D), k (BH, Sk_padded, D), v (BH, Sk_padded, D+1) with a
-    trailing ones-column (see ``_flash_kernel``) -> (BH, Sq, D).
+    trailing ones-column that is ZERO on padded KV rows (the mask — see
+    ``_flash_kernel``) -> (BH, Sq, D).
 
     ``interpret=True`` runs the kernel through the Pallas interpreter
-    (CPU-testable: the masking/online-softmax logic is executed line by
+    (CPU-testable: the online-softmax logic is executed line by
     line without a TPU)."""
     BH, Sq, D = q.shape
     Sk = k.shape[1]
@@ -137,8 +164,7 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
     grid = (BH, Sq // block_q, Sk // block_k)
 
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k, d_out=D),
+        functools.partial(_flash_kernel, scale=scale, d_out=D),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0),
@@ -166,66 +192,105 @@ def _flash_bhsd(q, k, v, block_q: int, block_k: int, kv_len: int,
 #: kernel (SD-2.1 512^2 iter/s): 1024/2048 = 54.55, 2048/1024 = 54.51,
 #: 1024/1024 = 54.22, 512/4096 = 53.72 (r1: 1024x1024 beat 512x512 by 12%)
 _DEFAULT_BQ = int(os.environ.get("SDTPU_FLASH_BQ", 1024))
-_DEFAULT_BK = int(os.environ.get("SDTPU_FLASH_BK", 2048))
+_DEFAULT_BK = int(os.environ.get("SDTPU_FLASH_BK", 2304))
+
+
+def _default_tiles(D: int):
+    """Tile CAPS (fed to ``_choose_tile``) scale down with head width to
+    stay inside the ~16 MB VMEM budget: transformer heads (D=64) allow up
+    to 1024×2304 (f32 logits tile 9.4 MB; 4096-row self-attention lands on
+    the tuned 1024×2048, the ragged 4250-row joint-attention KV on 2×2176
+    — both measured, see ``_choose_tile``); the VAE's single-head D=512
+    spatial attention (16384 tokens at 1024x1024 decode — the XLA path
+    would materialize a 1 GiB fp32 logits tensor) caps at 256x1024."""
+    if D > 256:
+        return 256, 1024
+    if D > 64:
+        return 512, 1024
+    return _DEFAULT_BQ, _DEFAULT_BK
+
+
+def _tile(s, explicit, default):
+    """Default tiles go through _choose_tile (bounded pad waste); EXPLICIT
+    tiles are honored exactly (sweep/ablation callers), padding up to their
+    multiple."""
+    if explicit is None:
+        return _choose_tile(s, default)
+    b = min(explicit, -(-s // 128) * 128)
+    return b, -(-s // b) * b
+
+
+def _pack_kv(k, v, block_k, dk):
+    """(B, Sk, H, D) k/v -> BHSD-packed (B*H, Sk_padded, D) k and
+    (B*H, Sk_padded, D+1) v whose trailing ones-column is ZERO on padded
+    rows — the normalizer column doubles as the KV mask (see
+    ``_flash_kernel``).  Padded K rows are zero (logit exactly 0)."""
+    B, Sk, H, D = k.shape
+    bk, sk_padded = _tile(Sk, block_k, dk)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    # ones column rides the PV matmul as the softmax normalizer; appended
+    # BEFORE row padding so padded rows carry 0 there (the mask)
+    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
+    pad = sk_padded - Sk
+    if pad:
+        kf = jnp.pad(kf, ((0, 0), (0, pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad), (0, 0)))
+    return kf, vf, bk
+
+
+def _run_one_q(q, kf, vf, bk, block_q, dq, interpret=False):
+    """(B, Sq, H, D) queries against packed KV -> (B, Sq, H, D).
+
+    Queries pad up to a multiple of the query tile (see _choose_tile —
+    ragged MMDiT joint attention keeps big tiles this way).  Padded rows
+    attend over real KV and produce finite garbage that is sliced off —
+    no masking needed on the Q axis."""
+    B, Sq, H, D = q.shape
+    q_len = Sq
+    bq, sq_padded = _tile(Sq, block_q, dq)
+    qpad = sq_padded - Sq
+    if qpad:
+        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
+        Sq = sq_padded
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    out = _flash_bhsd(qf, kf, vf, bq, bk, interpret=interpret)
+    out = out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out[:, :q_len] if qpad else out
 
 
 def flash_attention(q, k, v, bias=None, causal=False,
-                    block_q: int | None = None, block_k: int | None = None):
+                    block_q: int | None = None, block_k: int | None = None,
+                    interpret: bool = False):
     """Multi-head flash attention over (B, S, H, D) tensors.
 
     Falls back to the XLA path for shapes/features the kernel does not
-    handle (bias, causal, tiny query sequences).
-    """
+    handle (bias, causal, tiny query sequences).  ``interpret=True`` runs
+    the kernel through the Pallas interpreter (CPU-testable — the suite
+    exercises the REAL wrapper + kernel, not a mirror)."""
     B, Sq, H, D = q.shape
-    Sk = k.shape[1]
-    if block_q is None or block_k is None:
-        # tile defaults scale down with head width to stay inside the ~16 MB
-        # VMEM budget: transformer heads (D=64) run the tuned 1024x2048
-        # tiles; the VAE's single-head D=512 spatial attention (16384 tokens
-        # at 1024x1024 decode — the XLA path would materialize a 1 GiB fp32
-        # logits tensor) drops to 256x1024
-        if D > 256:
-            dq, dk = 256, 1024
-        elif D > 64:
-            dq, dk = 512, 1024
-        else:
-            dq, dk = _DEFAULT_BQ, _DEFAULT_BK
-        block_q = dq if block_q is None else block_q
-        block_k = dk if block_k is None else block_k
-    # pad queries up to a 128 multiple (MMDiT joint attention: 4096 latent +
-    # 154 context = 4250 rows).  Padded rows attend over real KV and produce
-    # finite garbage that is sliced off — no masking needed on the Q axis.
-    q_len = Sq
-    qpad = (-Sq) % 128
-    if qpad:
-        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
-        Sq += qpad
-    bq = _pick_block(Sq, block_q)
-    if bias is not None or causal or bq < 128:
+    if bias is not None or causal or Sq < 128:
         from .attention import _xla_attention
 
-        return _xla_attention(q[:, :q_len], k, v, bias=bias, causal=causal)
+        return _xla_attention(q, k, v, bias=bias, causal=causal)
+    dq, dk = _default_tiles(D)
+    kf, vf, bk = _pack_kv(k, v, block_k, dk)
+    return _run_one_q(q, kf, vf, bk, block_q, dq, interpret=interpret)
 
-    # pad KV up to a 128 multiple (cross-attention: 77 text tokens -> 128)
-    kv_len = Sk
-    pad = (-Sk) % 128
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        Sk = Sk + pad
-    bk = _pick_block(Sk, block_k)
-    if bk < 128:
-        from .attention import _xla_attention
 
-        return _xla_attention(q, k, v[:, :kv_len] if pad else v, bias=bias,
-                              causal=causal)
-
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    # ones column rides the PV matmul as the softmax normalizer (padded KV
-    # rows get masked logits, so their ones never contribute)
-    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
-    out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len)
-    out = out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
-    return out[:, :q_len] if qpad else out
+def flash_attention_multi_q(qs, k, v,
+                            block_q: int | None = None,
+                            block_k: int | None = None,
+                            interpret: bool = False):
+    """Several query streams attending over ONE shared KV: the MMDiT joint
+    attention (4096 latent + 154 context queries).  KV is packed once;
+    each query stream gets its own kernel call with its own (exact) tile
+    padding — the 4096-row latent stream pads by ZERO instead of the 20%
+    a concatenated 4250-row query axis costs, and the q-concat /
+    output-slice copies disappear entirely (measured 12 ms/step of pure
+    concat + 4 ms of pad at SD3-medium 1024², r3 trace)."""
+    D = qs[0].shape[-1]
+    dq, dk = _default_tiles(D)
+    kf, vf, bk = _pack_kv(k, v, block_k, dk)
+    return [_run_one_q(q, kf, vf, bk, block_q, dq, interpret=interpret)
+            for q in qs]

@@ -13,8 +13,9 @@ import jax.numpy as jnp
 
 from ml_stable_diffusion_tpu.ops.attention import _xla_attention
 from ml_stable_diffusion_tpu.ops.flash_attention import (
-    _flash_bhsd,
-    _pick_block,
+    _choose_tile,
+    flash_attention,
+    flash_attention_multi_q,
 )
 from ml_stable_diffusion_tpu.ops.groupnorm import (
     _gn_silu_pallas,
@@ -23,28 +24,10 @@ from ml_stable_diffusion_tpu.ops.groupnorm import (
 
 
 def _flash_interpret(q, k, v, block_q=256, block_k=128):
-    """Mirror flash_attention()'s padding/layout around the interpreted
-    kernel (B, S, H, D) -> (B, S, H, D)."""
-    B, Sq, H, D = q.shape
-    kv_len = k.shape[1]
-    pad = (-kv_len) % 128
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    Sk = k.shape[1]
-    q_len = Sq
-    qpad = (-Sq) % 128  # ragged query axis (MMDiT joint attention)
-    if qpad:
-        q = jnp.pad(q, ((0, 0), (0, qpad), (0, 0), (0, 0)))
-        Sq += qpad
-    bq = _pick_block(Sq, block_q)
-    bk = _pick_block(Sk, block_k)
-    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    vf = jnp.pad(vf, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
-    out = _flash_bhsd(qf, kf, vf, bq, bk, kv_len, interpret=True)
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)[:, :q_len]
+    """The REAL production wrapper (padding, ones-column KV mask, tile
+    choice) with the kernel under the Pallas interpreter."""
+    return flash_attention(q, k, v, block_q=block_q, block_k=block_k,
+                           interpret=True)
 
 
 @pytest.mark.parametrize("sq,sk,dtype", [
@@ -96,11 +79,42 @@ def test_flash_kernel_block_sweep():
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=f"{bq}x{bk}")
 
 
-def test_pick_block():
-    assert _pick_block(4096, 1024) == 1024
-    assert _pick_block(77, 512) == 77   # fits in one block
-    assert _pick_block(384, 512) == 384
-    assert _pick_block(640, 512) == 128  # halves until it divides
+def test_flash_multi_q_matches_concat():
+    """flash_attention_multi_q([q_x, q_c], k, v) == attend(concat) split —
+    the MMDiT joint-attention dispatch (shared packed KV, per-stream exact
+    tile padding, including a sub-128-row context stream)."""
+    B, H, D = 2, 3, 64
+    Nx, Nc = 384, 77  # latent + context rows (both ragged vs 128 tiles)
+    kq, kk, kv, kq2 = jax.random.split(jax.random.key(11), 4)
+    q_x = jax.random.normal(kq, (B, Nx, H, D), jnp.float32)
+    q_c = jax.random.normal(kq2, (B, Nc, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Nx + Nc, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Nx + Nc, H, D), jnp.float32)
+
+    got_x, got_c = flash_attention_multi_q([q_x, q_c], k, v, interpret=True)
+    ref = _xla_attention(jnp.concatenate([q_x, q_c], axis=1), k, v)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref[:, :Nx]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref[:, Nx:]),
+                               atol=2e-5)
+
+
+def test_choose_tile():
+    # exact multiples: fewest tiles under the cap, no padding
+    assert _choose_tile(4096, 1024) == (1024, 4096)
+    assert _choose_tile(4096, 2304) == (2048, 4096)
+    # the MMDiT joint-attention regression: the 4250-row KV axis
+    # (padded128 = 4352 = 34*128) must tile as 2x2176 (+2.4% pad), not a
+    # power-of-two choice between 256x17 (tiny tiles) or 1024x5 (+20%
+    # FLOPs) — on-chip sweep in the _choose_tile docstring
+    assert _choose_tile(4250, 2304) == (2176, 4352)
+    # under a 1024 cap the same axis takes 5 ragged 896-row tiles (+5.4%)
+    assert _choose_tile(4250, 1024) == (896, 4480)
+    # cross-attention: 77 -> one 128 tile
+    assert _choose_tile(77, 2304) == (128, 128)
+    # one tile when it fits the cap outright
+    assert _choose_tile(640, 1024) == (640, 640)
+    assert _choose_tile(640, 512) == (384, 768)
 
 
 @pytest.mark.parametrize("nbits,dtype", [
