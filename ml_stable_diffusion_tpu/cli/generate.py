@@ -74,6 +74,10 @@ def parser_spec() -> argparse.ArgumentParser:
                    help="writing-script hint passed to the embedder "
                         "(reference Script enum, MultilingualTextEncoder."
                         "swift:181-194)")
+    p.add_argument("--lora", action="append", default=[], metavar="PATH[:SCALE]",
+                   help="merge a LoRA adapter (.safetensors, kohya or "
+                        "diffusers-PEFT format) at the given strength; "
+                        "repeatable — adapters stack (beyond the reference)")
     p.add_argument("--w8a8", action="store_true",
                    help="serve the UNet's large Dense+Conv layers as int8 "
                         "MXU ops (the reference's W8A8 deployment path, "
@@ -158,6 +162,18 @@ def run(args) -> list:
                          controlnet_dirs=args.controlnet,
                          fuse_qkv=args.fuse_qkv,
                          multilingual_encoder=multilingual, mesh=mesh)
+    for spec in args.lora:
+        # PATH[:SCALE] — the scale suffix must parse as a float (Windows
+        # drive letters don't)
+        path, scale = spec, 1.0
+        if ":" in spec:
+            head, _, tail = spec.rpartition(":")
+            try:
+                scale = float(tail)
+                path = head
+            except ValueError:
+                pass
+        pipe.apply_lora(path, scale=scale)
     if args.w8a8:
         import json as _json
 

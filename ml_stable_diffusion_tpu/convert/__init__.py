@@ -6,6 +6,7 @@ from .controlnet import port_controlnet
 from .t5 import port_t5_encoder
 from .mmdit import port_mmdit, port_sd3_controlnet
 from .artifacts import save_module, load_module
+from .lora import LoRAAdapter, load_lora, merge_lora_into_params
 from .load import (
     load_pipeline,
     load_pipeline_from_artifacts,
@@ -47,4 +48,7 @@ __all__ = [
     "load_safety_checker",
     "load_scheduler_config",
     "scheduler_config_from_diffusers",
+    "LoRAAdapter",
+    "load_lora",
+    "merge_lora_into_params",
 ]

@@ -158,6 +158,67 @@ class StableDiffusionPipeline:
         self._programs.clear()
         return self
 
+    # -- LoRA adapters -----------------------------------------------------------
+
+    #: which adapter target addresses the denoiser params (SD3 overrides
+    #: with "transformer" — its denoiser is the MMDiT)
+    _LORA_DENOISER_TARGET = "unet"
+
+    def apply_lora(self, lora, scale: float = 1.0):
+        """Merge a LoRA adapter into the pipeline weights (beyond the
+        reference — it has no adapter support).
+
+        ``lora``: path to a .safetensors adapter (kohya/sd-scripts incl.
+        SDXL sgm naming, or diffusers-PEFT format) or a parsed
+        ``convert.lora.LoRAAdapter``.  ``scale`` multiplies the adapter's
+        effect (``W += scale * (alpha/r) * up @ down``).
+
+        Merge-at-load: compiled programs take params as jit arguments, so
+        applying (or clearing) adapters never recompiles.  Stacks: call
+        repeatedly to sum several adapters.  Apply BEFORE enable_w8a8 /
+        install_palettized (those derive serving copies from the dense
+        weights).  ``clear_loras()`` restores the pre-adapter weights
+        bit-exactly from pristine host copies of the touched leaves."""
+        from ..convert.lora import (LoRAAdapter, TARGET_TE, TARGET_TE2,
+                                    load_lora, merge_lora_into_params)
+
+        adapter = lora if isinstance(lora, LoRAAdapter) else load_lora(lora)
+        attr_map = {self._LORA_DENOISER_TARGET: "unet_params",
+                    TARGET_TE: "text_encoder_params"}
+        if hasattr(self, "text_encoder2_params"):
+            attr_map[TARGET_TE2] = "text_encoder2_params"
+        if not hasattr(self, "_lora_originals"):
+            self._lora_originals: dict = {}
+            self.applied_loras: list = []
+        for target in sorted(adapter.targets()):
+            attr = attr_map.get(target)
+            if attr is None or getattr(self, attr) is None:
+                raise ValueError(
+                    f"LoRA {adapter.name!r} targets {target!r}, which this "
+                    f"pipeline has no component for")
+            originals = self._lora_originals.setdefault(attr, {})
+            setattr(self, attr, merge_lora_into_params(
+                getattr(self, attr), adapter, target, scale, originals))
+        self.applied_loras.append((adapter.name, scale))
+        return self
+
+    def clear_loras(self):
+        """Restore the pre-LoRA weights (bit-exact: float merge is not
+        invertible, so pristine copies of touched leaves are kept)."""
+        from ..convert.lora import _get, _like, _set
+
+        for attr, originals in getattr(self, "_lora_originals", {}).items():
+            params = getattr(self, attr)
+            for path, orig in originals.items():
+                cur = _get(params, path)
+                params = _set(params, path,
+                              orig if isinstance(cur, np.ndarray)
+                              else _like(cur, orig))
+            setattr(self, attr, params)
+        self._lora_originals = {}
+        self.applied_loras = []
+        return self
+
     # -- compressed serving ------------------------------------------------------
 
     _PALETTIZED_ATTRS = {

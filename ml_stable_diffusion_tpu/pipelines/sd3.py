@@ -56,6 +56,10 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     _PARAM_ATTRS = StableDiffusionPipeline._PARAM_ATTRS + (
         "text_encoder2_params", "t5_encoder_params")
 
+    #: SD3 LoRA adapters address the MMDiT as "transformer"
+    #: (diffusers-PEFT naming); it lives in unet_params here
+    _LORA_DENOISER_TARGET = "transformer"
+
     # -- scheduler: rectified flow only (reference :131-133) --------------------
 
     def _make_scheduler(self, cfg: PipelineConfiguration):
