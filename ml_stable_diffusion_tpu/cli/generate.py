@@ -36,6 +36,11 @@ def parser_spec() -> argparse.ArgumentParser:
     p.add_argument("--rng", default="jax",
                    choices=["jax", "numpy", "torch", "nvidia"])
     p.add_argument("--image", default=None, help="img2img input image path")
+    p.add_argument("--mask", default=None, metavar="PATH",
+                   help="inpainting mask image (white = repaint, black = "
+                        "keep --image content); requires --image. Works "
+                        "with any model (legacy latent blending) and with "
+                        "9-channel inpainting UNet checkpoints")
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--size", default="512x512", help="HxW output size")
     p.add_argument("--controlnet-inputs", nargs="*", default=[],
@@ -200,6 +205,13 @@ def run(args) -> list:
 
         starting_image = pil_to_tensor(Image.open(args.image), size=(h, w))
 
+    mask_image = None
+    if args.mask:
+        from PIL import Image
+
+        mask_image = pil_to_tensor(Image.open(args.mask).convert("L"),
+                                   size=(h, w), value_range=(0.0, 1.0))
+
     controlnet_inputs = []
     for path in args.controlnet_inputs:
         from PIL import Image
@@ -209,7 +221,8 @@ def run(args) -> list:
 
     cfg = PipelineConfiguration(
         prompt=prompt, negative_prompt=args.negative_prompt,
-        starting_image=starting_image, strength=args.strength,
+        starting_image=starting_image, mask_image=mask_image,
+        strength=args.strength,
         image_count=args.image_count, step_count=args.step_count,
         seed=args.seed, guidance_scale=args.guidance_scale,
         refiner_start=args.refiner_start,

@@ -23,6 +23,13 @@ class PipelineConfiguration:
     #: img2img input: PIL image or NHWC float array in [-1, 1]
     starting_image: Any | None = None
     strength: float = 1.0
+    #: inpainting mask (beyond the reference): PIL image or (H, W[, 1])
+    #: float array in [0, 1]; 1 = repaint, 0 = keep ``starting_image``.
+    #: With a standard 4-channel UNet this runs legacy latent-blend
+    #: inpainting (known region re-noised to each step's level inside the
+    #: scan); with a 9-channel inpainting UNet checkpoint the mask +
+    #: masked-image latents are concatenated as model inputs.
+    mask_image: Any | None = None
 
     image_count: int = 1
     step_count: int = 50

@@ -561,15 +561,21 @@ class StableDiffusionPipeline:
 
     def _build_program(self, cfg: PipelineConfiguration, scheduler, plan,
                        N: int, h: int, w: int, guidance_on: bool,
-                       n_ctrl: int, img2img: bool):
+                       n_ctrl: int, img2img: bool, inpaint: bool = False):
         C = self.latent_channels
         g = float(cfg.guidance_scale)
         batch_one = cfg.unet_batch_one
         scale = (cfg.encoder_scale_factor or self.default_latent_scale)
         needs_noise = scheduler.needs_noise
         phases = self._denoise_phases(cfg, plan.num_steps)
+        ds = self.vae_downscale
+        #: dedicated inpainting checkpoints concat [latents, mask,
+        #: masked-image latents] as model input (diffusers
+        #: StableDiffusionInpaintPipeline convention)
+        unet9 = self.unet.config.in_channels == C + 5
 
-        def encode_stage(bundle, token_ids, init_image, key, init_noise):
+        def encode_stage(bundle, token_ids, init_image, key, init_noise,
+                         mask_px):
             text = self._encode_text(cfg, token_ids, bundle)
             if init_noise is None:
                 noise = jax.random.normal(jax.random.fold_in(key, 0),
@@ -590,10 +596,45 @@ class StableDiffusionPipeline:
                 latents = scheduler.add_noise(plan, z0, noise)
             else:
                 latents = noise * plan.init_noise_sigma
-            return latents, text
+            if not inpaint:
+                return latents, text
+            # latent-resolution mask by area pooling of the pixel mask
+            # (soft edges blend known/repainted content across the seam)
+            mask_lat = mask_px.reshape(mask_px.shape[0], h, ds, w, ds,
+                                       1).mean(axis=(2, 4))
+            pack = {"text": text, "mask": mask_lat}
+            if unet9:
+                # masked-image latents: known content with the repaint
+                # region blacked out, encoded once per program
+                masked = init_image * (1.0 - mask_px)
+                m_moments = self.vae_encoder.apply(
+                    {"params": bundle["vae_encoder"]}, masked)
+                from ..models.vae import sample_diagonal_gaussian
+
+                m_noise = (jax.random.normal(jax.random.fold_in(key, 2),
+                                             (N, h, w, C), jnp.float32)
+                           if init_noise is None else noise)
+                masked_z0 = sample_diagonal_gaussian(m_moments,
+                                                     m_noise) * scale
+                pack["extras9"] = jnp.concatenate([mask_lat, masked_z0],
+                                                  axis=-1)
+            else:
+                pack["z0"] = z0
+                pack["noise"] = noise
+            return latents, pack
+
+        def _unpack(text):
+            """inpaint packs (mask / z0+noise / 9-ch extras) ride inside the
+            'text' value so the staged per-step programs receive them
+            through the existing opaque conditioning slot."""
+            if not inpaint:
+                return text, None, None
+            ipack = (None if unet9
+                     else (text["z0"], text["noise"], text["mask"]))
+            return text["text"], ipack, text.get("extras9")
 
         def make_denoiser(bundle, call_unet, ctx_neg, ctx_pos, added_neg,
-                          added_pos, ctrl_images):
+                          added_pos, ctrl_images, extras9=None):
             def controlnet_stage(latents_in, t):
                 if n_ctrl == 0:
                     return None, None
@@ -612,6 +653,12 @@ class StableDiffusionPipeline:
 
             def denoise(latents_in, t):
                 down_res, mid_res = controlnet_stage(latents_in, t)
+                if extras9 is not None:
+                    # 9-ch inpainting UNet: concat AFTER scale_model_input
+                    # (diffusers convention); ControlNets keep the 4-ch view
+                    latents_in = jnp.concatenate(
+                        [latents_in, extras9.astype(latents_in.dtype)],
+                        axis=-1)
                 if not guidance_on:
                     return call_unet(bundle, latents_in, t, ctx_pos, added_pos,
                                      down_res, mid_res)
@@ -641,9 +688,13 @@ class StableDiffusionPipeline:
 
             return denoise
 
-        def make_step(denoiser, key, with_preview=False):
+        def make_step(denoiser, key, ipack=None, with_preview=False):
             """scan body; xs = (i, step_noise|None).  ys = predicted-x0
-            preview when with_preview (callback path only)."""
+            preview when with_preview (callback path only).  ``ipack``
+            (z0, init noise, latent mask): legacy inpainting — after the
+            scheduler step, the known region is replaced by the clean
+            latents re-noised to the NEXT step's level (clean at the end),
+            so only the masked region is generated."""
 
             def step(carry, xs):
                 latents, state = carry
@@ -664,11 +715,18 @@ class StableDiffusionPipeline:
                 else:
                     state, latents = scheduler.step(plan, state, noise_pred, i,
                                                     latents)
+                if ipack is not None:
+                    z0, noise0, m = ipack
+                    j = jnp.minimum(i + 1, plan.num_steps - 1)
+                    known = jnp.where(i + 1 >= plan.num_steps, z0,
+                                      scheduler.add_noise(plan, z0, noise0, j))
+                    latents = m * latents + (1.0 - m) * known
                 return (latents, state), preview
 
             return step
 
         def phase_denoisers(bundle, text, ctrl_images):
+            text, ipack, extras9 = _unpack(text)
             if n_ctrl:
                 ctrl_images = self._prepare_control_inputs(bundle, cfg,
                                                            ctrl_images)
@@ -678,28 +736,30 @@ class StableDiffusionPipeline:
                     self._phase_conditioning(cfg, text, N, call_unet)
                 out.append((lo, hi, make_denoiser(bundle, call_unet, ctx_neg,
                                                   ctx_pos, added_neg,
-                                                  added_pos, ctrl_images)))
+                                                  added_pos, ctrl_images,
+                                                  extras9), ipack))
             return out
 
         def full_run(bundle, token_ids, init_image, key, init_noise,
-                     step_noises, ctrl_images):
+                     step_noises, ctrl_images, mask_px):
             bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
-                                         init_noise)
+                                         init_noise, mask_px)
             state = scheduler.initial_state(plan, latents.shape)
             idx = jnp.arange(plan.num_steps)
-            for lo, hi, denoiser in phase_denoisers(bundle, text, ctrl_images):
-                step = make_step(denoiser, key)
+            for lo, hi, denoiser, ipack in phase_denoisers(bundle, text,
+                                                           ctrl_images):
+                step = make_step(denoiser, key, ipack)
                 xs = (idx[lo:hi],
                       None if step_noises is None else step_noises[lo:hi])
                 (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
             return latents
 
         # per-step entry points for the callback path
-        def init_run(bundle, token_ids, init_image, key, init_noise):
+        def init_run(bundle, token_ids, init_image, key, init_noise, mask_px):
             bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
-                                         init_noise)
+                                         init_noise, mask_px)
             state = scheduler.initial_state(plan, latents.shape)
             return latents, state, text
 
@@ -711,9 +771,9 @@ class StableDiffusionPipeline:
             def phase_scan(bundle, latents, state, text, step_noises, key,
                            ctrl_images):
                 bundle = self._materialize_bundle(bundle)
-                lo, hi, denoiser = phase_denoisers(bundle, text,
-                                                   ctrl_images)[phase_idx]
-                step = make_step(denoiser, key)
+                lo, hi, denoiser, ipack = phase_denoisers(
+                    bundle, text, ctrl_images)[phase_idx]
+                step = make_step(denoiser, key, ipack)
                 idx = jnp.arange(plan.num_steps)
                 xs = (idx[lo:hi],
                       None if step_noises is None else step_noises[lo:hi])
@@ -726,9 +786,9 @@ class StableDiffusionPipeline:
             def one_step(bundle, latents, state, text, i, step_noise, key,
                          ctrl_images):
                 bundle = self._materialize_bundle(bundle)
-                lo, hi, denoiser = phase_denoisers(bundle, text,
-                                                   ctrl_images)[phase_idx]
-                step = make_step(denoiser, key,
+                lo, hi, denoiser, ipack = phase_denoisers(
+                    bundle, text, ctrl_images)[phase_idx]
+                step = make_step(denoiser, key, ipack,
                                  with_preview=cfg.use_denoised_intermediates)
                 (latents, state), preview = step((latents, state),
                                                  (i, step_noise))
@@ -808,6 +868,14 @@ class StableDiffusionPipeline:
         h, w = self._latent_hw(cfg, image_hw)
         scheduler = self._make_scheduler(cfg)
         img2img = cfg.starting_image is not None
+        inpaint = cfg.mask_image is not None
+        if inpaint and not img2img:
+            raise ValueError("mask_image requires starting_image")
+        if (self.unet.config.in_channels == self.latent_channels + 5
+                and not inpaint):
+            raise ValueError(
+                "this checkpoint is a 9-channel inpainting UNet; pass "
+                "starting_image + mask_image")
         strength = cfg.strength if img2img else 1.0
         plan = scheduler.set_timesteps(cfg.step_count, strength=strength)
         guidance_on = cfg.guidance_scale > 1.0
@@ -819,7 +887,7 @@ class StableDiffusionPipeline:
 
         set_attention_implementation(cfg.attention_implementation)
         key = (cfg.scheduler, cfg.step_count, N, h, w, guidance_on, n_ctrl,
-               img2img, cfg.unet_batch_one, cfg.rng == "jax",
+               img2img, inpaint, cfg.unet_batch_one, cfg.rng == "jax",
                cfg.timestep_spacing, round(strength, 4),
                cfg.guidance_scale, cfg.timestep_shift,
                cfg.attention_implementation,
@@ -827,7 +895,8 @@ class StableDiffusionPipeline:
                self._conditioning_cache_key(cfg))
         if key not in self._programs:
             self._programs[key] = self._build_program(
-                cfg, scheduler, plan, N, h, w, guidance_on, n_ctrl, img2img)
+                cfg, scheduler, plan, N, h, w, guidance_on, n_ctrl, img2img,
+                inpaint)
         prog = self._programs[key]
 
         token_ids = {k: jnp.asarray(v) for k, v in self._tokenize(cfg).items()}
@@ -864,6 +933,23 @@ class StableDiffusionPipeline:
                 arr = pil_to_tensor(arr, size=(h * ds, w * ds))
             init_image = jnp.asarray(
                 np.broadcast_to(arr, (N, h * ds, w * ds, 3)).copy())
+        # pixel-resolution repaint mask (1 = repaint); the traced program
+        # area-pools it to latent resolution
+        mask_px = jnp.zeros((1, 1, 1, 1), jnp.float32)  # shape placeholder
+        if inpaint:
+            m = cfg.mask_image
+            if not isinstance(m, np.ndarray):
+                m = pil_to_tensor(m, size=(h * ds, w * ds),
+                                  value_range=(0.0, 1.0))
+            m = np.asarray(m, np.float32)
+            if m.ndim == 2:  # (H, W)
+                m = m[None, :, :, None]
+            elif m.ndim == 3:  # (H, W, C) or (N, H, W)
+                m = m[None] if m.shape[-1] in (1, 3) else m[..., None]
+            if m.shape[-1] == 3:
+                m = m.mean(axis=-1, keepdims=True)
+            mask_px = jnp.asarray(np.broadcast_to(
+                np.clip(m, 0.0, 1.0), (N, h * ds, w * ds, 1)).copy())
 
         staged = cfg.reduce_memory
         bundle = None if staged else self._params_bundle()
@@ -871,7 +957,7 @@ class StableDiffusionPipeline:
         if progress_handler is None and not staged:
             latents = prog["full"](bundle, token_ids, init_image, rng_key,
                                    init_noise, step_noises,
-                                   self._ctrl_images(cfg, N))
+                                   self._ctrl_images(cfg, N), mask_px)
         else:
             # staged path: each stage's program gets only that stage's
             # weights (reduceMemory analog; reference loads/unloads each
@@ -880,7 +966,7 @@ class StableDiffusionPipeline:
                           else bundle)
             latents, state, text = prog["init"](enc_bundle, token_ids,
                                                 init_image, rng_key,
-                                                init_noise)
+                                                init_noise, mask_px)
             del enc_bundle
             ctrl = self._ctrl_images(cfg, N)
             stopped = False

@@ -188,9 +188,10 @@ class Scheduler:
     def step(self, plan: SchedulerPlan, state, model_output, i, sample, noise=None):
         raise NotImplementedError
 
-    def add_noise(self, plan: SchedulerPlan, original, noise):
-        """Noise a clean latent to the trajectory's starting step (img2img;
-        reference Scheduler.swift:83-102)."""
+    def add_noise(self, plan: SchedulerPlan, original, noise, i=0):
+        """Noise a clean latent to the noise level of trajectory step ``i``
+        (``i=0``: img2img start, reference Scheduler.swift:83-102; traced
+        ``i``: per-step re-noising of the known region for inpainting)."""
         raise NotImplementedError
 
     def pred_x0(self, plan: SchedulerPlan, state, model_output, i, sample):

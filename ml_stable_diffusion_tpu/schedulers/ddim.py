@@ -58,7 +58,7 @@ class DDIMScheduler(Scheduler):
         prev = a_p * x0 + s_p * eps
         return state, prev
 
-    def add_noise(self, plan: SchedulerPlan, original, noise):
-        a_t = plan.table("sqrt_alpha_t")[0]
-        s_t = plan.table("sqrt_one_minus_alpha_t")[0]
+    def add_noise(self, plan: SchedulerPlan, original, noise, i=0):
+        a_t = plan.table("sqrt_alpha_t")[i]
+        s_t = plan.table("sqrt_one_minus_alpha_t")[i]
         return a_t * original + s_t * noise

@@ -121,7 +121,7 @@ class DPMSolverMultistepScheduler(Scheduler):
         prev = jnp.where(use_first, first, second)
         return {"prev_x0": x0}, prev
 
-    def add_noise(self, plan, original, noise):
-        a = plan.table("alpha")[0]
-        s = plan.table("sigma")[0]
+    def add_noise(self, plan, original, noise, i=0):
+        a = plan.table("alpha")[i]
+        s = plan.table("sigma")[i]
         return a * original + s * noise

@@ -71,8 +71,8 @@ class EulerScheduler(Scheduler):
         prev = sample + derivative * (sigma_next - sigma)
         return state, prev
 
-    def add_noise(self, plan, original, noise):
-        return original + noise * plan.table("sigmas")[0]
+    def add_noise(self, plan, original, noise, i=0):
+        return original + noise * plan.table("sigmas")[i]
 
     def pred_x0(self, plan, state, model_output, i, sample):
         # sigma-space convention x = x0 + sigma*eps (k-diffusion)

@@ -45,8 +45,8 @@ class DiscreteFlowScheduler(Scheduler):
         prev = sample + (sigmas[i + 1] - sigmas[i]) * model_output
         return state, prev
 
-    def add_noise(self, plan, original, noise):
-        sigma = plan.table("sigmas")[0]
+    def add_noise(self, plan, original, noise, i=0):
+        sigma = plan.table("sigmas")[i]
         return (1.0 - sigma) * original + sigma * noise
 
     def pred_x0(self, plan, state, model_output, i, sample):

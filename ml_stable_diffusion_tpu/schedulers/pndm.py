@@ -132,8 +132,8 @@ class PNDMScheduler(Scheduler):
                 - plan.table("alpha_diff")[i] * combined / plan.table("mo_denom")[i])
         return {"ets": ets, "cur_sample": cur_sample}, prev
 
-    def add_noise(self, plan, original, noise):
-        # reconstruct acp at the first evaluation timestep
-        a = plan.table("sqrt_a_eval")[0]
-        s = plan.table("sqrt_1m_a_eval")[0]
+    def add_noise(self, plan, original, noise, i=0):
+        # reconstruct acp at the i-th evaluation timestep
+        a = plan.table("sqrt_a_eval")[i]
+        s = plan.table("sqrt_1m_a_eval")[i]
         return a * original + s * noise
