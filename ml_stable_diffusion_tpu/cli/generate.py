@@ -83,6 +83,12 @@ def parser_spec() -> argparse.ArgumentParser:
                    help="merge a LoRA adapter (.safetensors, kohya or "
                         "diffusers-PEFT format) at the given strength; "
                         "repeatable — adapters stack (beyond the reference)")
+    p.add_argument("--textual-inversion", action="append", default=[],
+                   metavar="PATH[:TOKEN]",
+                   help="load a textual-inversion embedding (.pt or "
+                        ".safetensors) under the given placeholder token "
+                        "(defaults to the file's name); repeatable "
+                        "(beyond the reference)")
     p.add_argument("--w8a8", action="store_true",
                    help="serve the UNet's large Dense+Conv layers as int8 "
                         "MXU ops (the reference's W8A8 deployment path, "
@@ -167,6 +173,10 @@ def run(args) -> list:
                          controlnet_dirs=args.controlnet,
                          fuse_qkv=args.fuse_qkv,
                          multilingual_encoder=multilingual, mesh=mesh)
+    for spec in args.textual_inversion:
+        head, sep, tail = spec.rpartition(":")
+        path, tok = (head, tail) if sep else (spec, "")
+        pipe.load_textual_inversion(path, token=tok or None)
     for spec in args.lora:
         # PATH[:SCALE] — the scale suffix must parse as a float (Windows
         # drive letters don't)

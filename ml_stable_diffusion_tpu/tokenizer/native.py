@@ -86,8 +86,21 @@ class NativeCLIPTokenizer:
             self._lib.sdtpu_bpe_destroy(self._handle)
             self._handle = None
 
+    def add_placeholder(self, token: str, ids):
+        """Textual-inversion placeholder — prompts containing one route to
+        the Python tokenizer (same pattern as the non-ASCII fallback)."""
+        self._fallback.add_placeholder(token, ids)
+
+    @property
+    def added_placeholders(self):
+        return self._fallback.added_placeholders
+
     def encode(self, text: str) -> list[int]:
         if not text.isascii():
+            return self._fallback.encode(text)
+        placeholders = (self._fallback.added_placeholders
+                        if self._fallback is not None else None)
+        if placeholders and any(k in text.lower() for k in placeholders):
             return self._fallback.encode(text)
         buf = (ctypes.c_int32 * 512)()
         n = self._lib.sdtpu_bpe_encode(self._handle, text.encode("utf-8"),

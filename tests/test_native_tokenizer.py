@@ -159,3 +159,21 @@ def test_native_image_conversion_matches_numpy():
     u = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
     f = uint8_to_float_native(u, -1.0, 1.0)
     np.testing.assert_allclose(f, u / 255.0 * 2.0 - 1.0, atol=1e-6)
+
+
+def test_native_placeholder_routes_to_python(vocab_dir):
+    """Textual-inversion placeholders route through the Python fallback
+    (same pattern as non-ASCII) and expand identically on both paths."""
+    if build_native() is None:
+        pytest.skip("native toolchain unavailable")
+    nat = NativeCLIPTokenizer(vocab_dir / "vocab.json",
+                              vocab_dir / "merges.txt")
+    py = CLIPTokenizer.from_files(vocab_dir / "vocab.json",
+                                  vocab_dir / "merges.txt")
+    py.add_placeholder("<thing>", [500, 501])
+    nat.add_placeholder("<thing>", [500, 501])
+    assert nat.encode("hello <THING> world") == py.encode(
+        "hello <THING> world")
+    assert [500, 501] == nat.encode("<thing>")
+    # placeholder-free prompts still take the native path (parity holds)
+    assert nat.encode("hello world") == py.encode("hello world")
