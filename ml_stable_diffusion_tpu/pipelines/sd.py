@@ -1064,7 +1064,10 @@ class StableDiffusionPipeline:
                         stopped = True
                         break
                 del ph_bundle
-        latents = np.asarray(jax.block_until_ready(latents))
+        # np.asarray alone forces the full sync + fetch in ONE tunnel
+        # message; a block_until_ready first costs a second round trip
+        # (~25 ms of pure fixed overhead per generation, measured r3)
+        latents = np.asarray(latents)
         dt = (time.perf_counter() - t0) / plan.num_steps
 
         images = self.decode_latents(latents, cfg)
