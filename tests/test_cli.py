@@ -246,3 +246,58 @@ def test_generate_cli_fuse_qkv(sd_checkpoint, tmp_path):
     ])
     paths = cli_generate.run(args)
     assert paths[0].exists()
+
+
+def test_generate_cli_lora_ti_inpaint(sd_checkpoint, tmp_path):
+    """--lora / --textual-inversion / --image+--mask flag wiring: the CLI
+    merges the adapter, registers the placeholder, and runs the masked
+    generation end-to-end, changing the output vs the plain run."""
+    from PIL import Image
+
+    from ml_stable_diffusion_tpu.convert import load_pipeline
+    from ml_stable_diffusion_tpu.convert.native_io import save_file
+
+    # introspect the tiny checkpoint's dims to author adapter files
+    probe = load_pipeline(sd_checkpoint)
+    te_kern = np.asarray(
+        probe.text_encoder_params["layers_0"]["q_proj"]["kernel"])
+    cin, cout = te_kern.shape
+    hidden = te_kern.shape[0]
+    rng = np.random.default_rng(0)
+    lora_path = tmp_path / "adapter.safetensors"
+    save_file({
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_down.weight": rng.normal(size=(2, cin)).astype(np.float32),
+        "lora_te_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_up.weight": rng.normal(size=(cout, 2)).astype(np.float32),
+    }, lora_path)
+    ti_path = tmp_path / "thing.safetensors"
+    save_file({"emb_params":
+               rng.normal(size=(2, hidden)).astype(np.float32) * 0.02},
+              ti_path)
+    img_path = tmp_path / "init.png"
+    Image.fromarray(
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)).save(img_path)
+    mask_path = tmp_path / "mask.png"
+    mask = np.zeros((64, 64), np.uint8)
+    mask[:, 32:] = 255
+    Image.fromarray(mask).save(mask_path)
+
+    base_args = ["a <thing> cat", "-i", str(sd_checkpoint),
+                 "--step-count", "2", "--size", "64x64", "--scheduler",
+                 "DDIM", "--disable-safety", "--seed", "7",
+                 "--image", str(img_path), "--mask", str(mask_path),
+                 "--textual-inversion", f"{ti_path}:<thing>"]
+    out_a = tmp_path / "a"
+    args = cli_generate.parser_spec().parse_args(
+        base_args + ["-o", str(out_a)])
+    paths = cli_generate.run(args)
+    assert len(paths) == 1 and paths[0].exists()
+
+    out_b = tmp_path / "b"
+    args = cli_generate.parser_spec().parse_args(
+        base_args + ["-o", str(out_b), "--lora", f"{lora_path}:0.7"])
+    paths_b = cli_generate.run(args)
+    a = np.asarray(Image.open(paths[0]), np.int32)
+    b = np.asarray(Image.open(paths_b[0]), np.int32)
+    assert np.abs(a - b).max() > 0  # the LoRA changed the generation
