@@ -89,6 +89,16 @@ def parser_spec() -> argparse.ArgumentParser:
                         ".safetensors) under the given placeholder token "
                         "(defaults to the file's name); repeatable "
                         "(beyond the reference)")
+    p.add_argument("--ip-adapter", default=None, metavar="PATH",
+                   help="IP-Adapter checkpoint (.safetensors/.bin, base "
+                        "projection variant); requires --ip-image-encoder "
+                        "and --ip-adapter-image (beyond the reference)")
+    p.add_argument("--ip-image-encoder", default=None, metavar="DIR",
+                   help="CLIPVisionModelWithProjection checkpoint dir "
+                        "(the adapter's paired image encoder)")
+    p.add_argument("--ip-adapter-image", default=None, metavar="PATH",
+                   help="reference image for IP-Adapter conditioning")
+    p.add_argument("--ip-adapter-scale", type=float, default=1.0)
     p.add_argument("--w8a8", action="store_true",
                    help="serve the UNet's large Dense+Conv layers as int8 "
                         "MXU ops (the reference's W8A8 deployment path, "
@@ -173,6 +183,11 @@ def run(args) -> list:
                          controlnet_dirs=args.controlnet,
                          fuse_qkv=args.fuse_qkv,
                          multilingual_encoder=multilingual, mesh=mesh)
+    if args.ip_adapter:
+        if not (args.ip_image_encoder and args.ip_adapter_image):
+            raise SystemExit("--ip-adapter requires --ip-image-encoder and "
+                             "--ip-adapter-image")
+        pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
     for spec in args.textual_inversion:
         head, sep, tail = spec.rpartition(":")
         path, tok = (head, tail) if sep else (spec, "")
@@ -215,6 +230,14 @@ def run(args) -> list:
 
         starting_image = pil_to_tensor(Image.open(args.image), size=(h, w))
 
+    ip_adapter_image = None
+    if args.ip_adapter_image:
+        from PIL import Image
+
+        S = pipe.ip_image_encoder[0].config.image_size
+        ip_adapter_image = pil_to_tensor(Image.open(args.ip_adapter_image),
+                                         size=(S, S), value_range=(0.0, 1.0))
+
     mask_image = None
     if args.mask:
         from PIL import Image
@@ -232,6 +255,8 @@ def run(args) -> list:
     cfg = PipelineConfiguration(
         prompt=prompt, negative_prompt=args.negative_prompt,
         starting_image=starting_image, mask_image=mask_image,
+        ip_adapter_image=ip_adapter_image,
+        ip_adapter_scale=args.ip_adapter_scale,
         strength=args.strength,
         image_count=args.image_count, step_count=args.step_count,
         seed=args.seed, guidance_scale=args.guidance_scale,

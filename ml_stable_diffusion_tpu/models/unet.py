@@ -245,6 +245,11 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, context=None):
         is_self = context is None
+        ip_context, ip_scale = None, 1.0
+        if isinstance(context, tuple):
+            # IP-Adapter decoupled cross-attention: the image tokens ride
+            # with the text context as (text_ctx, ip_tokens, ip_scale)
+            context, ip_context, ip_scale = context
         context = x if context is None else context
         inner = self.query_dim
         head_dim = inner // self.heads
@@ -262,6 +267,17 @@ class Attention(nn.Module):
         k = k.reshape(B, Sk, self.heads, head_dim)
         v = v.reshape(B, Sk, self.heads, head_dim)
         out = dot_product_attention(q, k, v)
+        if ip_context is not None:
+            # separate K/V projections over the image tokens; outputs sum
+            # BEFORE the out-projection (IPAttnProcessor semantics)
+            S_ip = ip_context.shape[1]
+            k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_context).reshape(
+                                B, S_ip, self.heads, head_dim)
+            v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_context).reshape(
+                                B, S_ip, self.heads, head_dim)
+            out = out + ip_scale * dot_product_attention(q, k_ip, v_ip)
         out = out.reshape(B, Sq, inner)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
@@ -386,7 +402,9 @@ class UNet2DConditionModel(nn.Module):
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  added_cond: dict | None = None,
                  down_block_residuals: Sequence[jnp.ndarray] | None = None,
-                 mid_block_residual: jnp.ndarray | None = None):
+                 mid_block_residual: jnp.ndarray | None = None,
+                 ip_context: jnp.ndarray | None = None,
+                 ip_scale: float = 1.0):
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -409,6 +427,11 @@ class UNet2DConditionModel(nn.Module):
 
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)
+        if ip_context is not None:
+            # IP-Adapter image tokens ride with the text context into every
+            # cross-attention (unpacked in Attention)
+            encoder_hidden_states = (encoder_hidden_states,
+                                     ip_context.astype(self.dtype), ip_scale)
 
         # --- down ---
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,

@@ -45,6 +45,12 @@ class PipelineConfiguration:
     #: per-ControlNet conditioning images (PIL or NHWC arrays)
     controlnet_inputs: Sequence[Any] = ()
 
+    #: IP-Adapter reference image (beyond the reference): PIL image or
+    #: (H, W, 3) array in [0, 1]; requires ``pipe.load_ip_adapter(...)``
+    ip_adapter_image: Any | None = None
+    #: weight of the image tokens' decoupled cross-attention
+    ip_adapter_scale: float = 1.0
+
     disable_safety: bool = False
     #: reference reduceMemory (StableDiffusionPipeline.swift:94,169-200,
     #: main.swift --reduce-memory): models load just-in-time and unload

@@ -118,6 +118,10 @@ class StableDiffusionPipeline:
         self.int8_weights: dict | None = None
         self.int8_act_scales = None
         self.int8_skip_patterns: tuple = ()
+        #: set by load_ip_adapter(): (IPImageProjection, params) and the
+        #: paired CLIP vision encoder (model, params)
+        self.ip_projection = None
+        self.ip_image_encoder = None
         self._programs: dict = {}
         self._decode_fn = None
         #: set by shard(): the jax.sharding.Mesh the programs run across
@@ -217,6 +221,58 @@ class StableDiffusionPipeline:
             setattr(self, attr, params)
         self._lora_originals = {}
         self.applied_loras = []
+        return self
+
+    # -- IP-Adapter --------------------------------------------------------------
+
+    def load_ip_adapter(self, source, image_encoder):
+        """Load an IP-Adapter (image-prompt conditioning — beyond the
+        reference).  ``source``: the adapter checkpoint (.safetensors or
+        torch .bin, BASE projection variant).  ``image_encoder``: a
+        (CLIPVisionEncoder, params) pair or a transformers
+        CLIPVisionModelWithProjection checkpoint directory (the adapter's
+        paired encoder, e.g. OpenCLIP ViT-H/14).
+
+        The decoupled to_k_ip/to_v_ip weights merge into the UNet param
+        tree (models/unet.py Attention reads them when image tokens are
+        supplied); generation passes ``ip_adapter_image`` /
+        ``ip_adapter_scale`` in the PipelineConfiguration.  The negative
+        CFG branch uses zero image embeddings (ecosystem convention)."""
+        from ..models.unet import UNetConfig
+
+        if not isinstance(self.unet.config, UNetConfig):
+            raise ValueError(
+                "IP-Adapter checkpoints target UNet denoisers (SD/SDXL); "
+                f"this pipeline's denoiser is {type(self.unet).__name__}")
+        from ..convert.ip_adapter import (load_ip_adapter_state,
+                                          port_ip_adapter,
+                                          port_ip_image_projection)
+        from ..convert.lora import _get, _set
+        from ..models.ip_adapter import IPImageProjection
+
+        image_proj_sd, ip_layers = load_ip_adapter_state(source)
+        ported = port_ip_adapter(self.unet.config, ip_layers)
+        params = self.unet_params
+        for path, sub in ported.items():
+            node = dict(_get(params, path))
+            node.update(jax.tree.map(
+                lambda a: jnp.asarray(a, self.unet.dtype), sub))
+            params = _set(params, path, node)
+        self.unet_params = params
+
+        cross = self.unet.config.cross_attention_dim
+        num_tokens = image_proj_sd["proj.weight"].shape[0] // cross
+        proj = IPImageProjection(cross, num_tokens, dtype=self.unet.dtype)
+        self.ip_projection = (proj, jax.tree.map(
+            lambda a: jnp.asarray(a, self.unet.dtype),
+            port_ip_image_projection(image_proj_sd)))
+        if not isinstance(image_encoder, tuple):
+            from ..convert.clip_vision import load_clip_vision
+
+            image_encoder = load_clip_vision(image_encoder,
+                                             dtype=self.unet.dtype)
+        self.ip_image_encoder = image_encoder
+        self._programs.clear()
         return self
 
     # -- textual inversion -------------------------------------------------------
@@ -436,6 +492,9 @@ class StableDiffusionPipeline:
             b["vae_encoder"] = self.vae_encoder_params
         if self.multilingual_encoder is not None:
             b["multilingual"] = self.multilingual_encoder[1]
+        if self.ip_projection is not None:
+            b["ip_proj"] = self.ip_projection[1]
+            b["ip_vision"] = self.ip_image_encoder[1]
         if self.palettized_side:
             b["palettized"] = self.palettized_side
         if self.int8_weights is not None:
@@ -521,7 +580,8 @@ class StableDiffusionPipeline:
         ``stage`` is "encode" or a phase's module key ('unet'/'refiner')."""
         full = self._params_bundle()
         if stage == "encode":
-            keys = ["text_encoder", "text_encoder2", "multilingual"]
+            keys = ["text_encoder", "text_encoder2", "multilingual",
+                    "ip_proj", "ip_vision"]
             if img2img:
                 keys.append("vae_encoder")
         else:
@@ -538,11 +598,14 @@ class StableDiffusionPipeline:
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
 
     def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
-                   mid_res):
+                   mid_res, ip_context=None, ip_scale=1.0):
+        kw = {}
+        if ip_context is not None:
+            kw = {"ip_context": ip_context, "ip_scale": ip_scale}
         return self.unet.apply(
             {"params": bundle["unet"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
-            mid_block_residual=mid_res)
+            mid_block_residual=mid_res, **kw)
 
     def _denoise_phases(self, cfg: PipelineConfiguration, num_steps: int):
         """-> list of (start, end, unet_caller).  One phase for plain SD."""
@@ -628,7 +691,8 @@ class StableDiffusionPipeline:
 
     def _build_program(self, cfg: PipelineConfiguration, scheduler, plan,
                        N: int, h: int, w: int, guidance_on: bool,
-                       n_ctrl: int, img2img: bool, inpaint: bool = False):
+                       n_ctrl: int, img2img: bool, inpaint: bool = False,
+                       ip_on: bool = False):
         C = self.latent_channels
         g = float(cfg.guidance_scale)
         batch_one = cfg.unet_batch_one
@@ -641,9 +705,23 @@ class StableDiffusionPipeline:
         #: StableDiffusionInpaintPipeline convention)
         unet9 = self.unet.config.in_channels == C + 5
 
+        ip_scale = float(cfg.ip_adapter_scale)
+
         def encode_stage(bundle, token_ids, init_image, key, init_noise,
-                         mask_px):
+                         mask_px, ip_image):
             text = self._encode_text(cfg, token_ids, bundle)
+            ip_extra = {}
+            if ip_on:
+                # image tokens computed once per program; the negative CFG
+                # branch conditions on ZERO image embeddings
+                emb = self.ip_image_encoder[0].apply(
+                    {"params": bundle["ip_vision"]}, ip_image)["image_embeds"]
+                proj = self.ip_projection[0]
+                ip_extra = {
+                    "ip_pos": proj.apply({"params": bundle["ip_proj"]}, emb),
+                    "ip_neg": proj.apply({"params": bundle["ip_proj"]},
+                                         jnp.zeros_like(emb)),
+                }
             if init_noise is None:
                 noise = jax.random.normal(jax.random.fold_in(key, 0),
                                           (N, h, w, C), jnp.float32)
@@ -664,12 +742,14 @@ class StableDiffusionPipeline:
             else:
                 latents = noise * plan.init_noise_sigma
             if not inpaint:
-                return latents, text
+                if not ip_on:
+                    return latents, text
+                return latents, {"text": text, **ip_extra}
             # latent-resolution mask by area pooling of the pixel mask
             # (soft edges blend known/repainted content across the seam)
             mask_lat = mask_px.reshape(mask_px.shape[0], h, ds, w, ds,
                                        1).mean(axis=(2, 4))
-            pack = {"text": text, "mask": mask_lat}
+            pack = {"text": text, "mask": mask_lat, **ip_extra}
             if unet9:
                 # masked-image latents: known content with the repaint
                 # region blacked out, encoded once per program
@@ -691,17 +771,28 @@ class StableDiffusionPipeline:
             return latents, pack
 
         def _unpack(text):
-            """inpaint packs (mask / z0+noise / 9-ch extras) ride inside the
-            'text' value so the staged per-step programs receive them
-            through the existing opaque conditioning slot."""
+            """inpaint/ip packs (mask / z0+noise / 9-ch extras / image
+            tokens) ride inside the 'text' value so the staged per-step
+            programs receive them through the existing opaque conditioning
+            slot."""
+            if not (inpaint or ip_on):
+                return text, None, None, None
+            ip_pair = ((text["ip_neg"], text["ip_pos"]) if ip_on else None)
             if not inpaint:
-                return text, None, None
+                return text["text"], None, None, ip_pair
             ipack = (None if unet9
                      else (text["z0"], text["noise"], text["mask"]))
-            return text["text"], ipack, text.get("extras9")
+            return text["text"], ipack, text.get("extras9"), ip_pair
 
         def make_denoiser(bundle, call_unet, ctx_neg, ctx_pos, added_neg,
-                          added_pos, ctrl_images, extras9=None):
+                          added_pos, ctrl_images, extras9=None,
+                          ip_pair=None):
+            ip_neg, ip_pos = ip_pair if ip_pair is not None else (None, None)
+
+            def ip_kw(tokens):
+                if tokens is None:
+                    return {}
+                return {"ip_context": tokens, "ip_scale": ip_scale}
             def controlnet_stage(latents_in, t):
                 if n_ctrl == 0:
                     return None, None
@@ -728,13 +819,15 @@ class StableDiffusionPipeline:
                         axis=-1)
                 if not guidance_on:
                     return call_unet(bundle, latents_in, t, ctx_pos, added_pos,
-                                     down_res, mid_res)
+                                     down_res, mid_res, **ip_kw(ip_pos))
                 if batch_one:
                     # serial CFG parity mode (pipeline.py:540-557)
                     out_neg = call_unet(bundle, latents_in, t, ctx_neg,
-                                        added_neg, down_res, mid_res)
+                                        added_neg, down_res, mid_res,
+                                        **ip_kw(ip_neg))
                     out_pos = call_unet(bundle, latents_in, t, ctx_pos,
-                                        added_pos, down_res, mid_res)
+                                        added_pos, down_res, mid_res,
+                                        **ip_kw(ip_pos))
                 else:
                     lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
                     ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
@@ -748,7 +841,10 @@ class StableDiffusionPipeline:
                         dr2 = [jnp.concatenate([r, r], axis=0) for r in down_res]
                     if mid_res is not None:
                         mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
-                    out = call_unet(bundle, lat2, t, ctx2, added2, dr2, mr2)
+                    ip2 = (jnp.concatenate([ip_neg, ip_pos], axis=0)
+                           if ip_pos is not None else None)
+                    out = call_unet(bundle, lat2, t, ctx2, added2, dr2, mr2,
+                                    **ip_kw(ip2))
                     out_neg, out_pos = jnp.split(out, 2, axis=0)
                 # performGuidance (StableDiffusionPipeline.swift:465-483)
                 return out_neg + g * (out_pos - out_neg)
@@ -793,7 +889,7 @@ class StableDiffusionPipeline:
             return step
 
         def phase_denoisers(bundle, text, ctrl_images):
-            text, ipack, extras9 = _unpack(text)
+            text, ipack, extras9, ip_pair = _unpack(text)
             if n_ctrl:
                 ctrl_images = self._prepare_control_inputs(bundle, cfg,
                                                            ctrl_images)
@@ -801,17 +897,21 @@ class StableDiffusionPipeline:
             for pi, (lo, hi, call_unet) in enumerate(phases):
                 ctx_neg, ctx_pos, added_neg, added_pos = \
                     self._phase_conditioning(cfg, text, N, call_unet)
+                # IP tokens apply to the base UNet only (the SDXL refiner
+                # carries no decoupled-attention weights)
+                phase_ip = (ip_pair if call_unet == self._call_unet
+                            else None)
                 out.append((lo, hi, make_denoiser(bundle, call_unet, ctx_neg,
                                                   ctx_pos, added_neg,
                                                   added_pos, ctrl_images,
-                                                  extras9), ipack))
+                                                  extras9, phase_ip), ipack))
             return out
 
         def full_run(bundle, token_ids, init_image, key, init_noise,
-                     step_noises, ctrl_images, mask_px):
+                     step_noises, ctrl_images, mask_px, ip_image):
             bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
-                                         init_noise, mask_px)
+                                         init_noise, mask_px, ip_image)
             state = scheduler.initial_state(plan, latents.shape)
             idx = jnp.arange(plan.num_steps)
             for lo, hi, denoiser, ipack in phase_denoisers(bundle, text,
@@ -823,10 +923,11 @@ class StableDiffusionPipeline:
             return latents
 
         # per-step entry points for the callback path
-        def init_run(bundle, token_ids, init_image, key, init_noise, mask_px):
+        def init_run(bundle, token_ids, init_image, key, init_noise,
+                     mask_px, ip_image):
             bundle = self._materialize_bundle(bundle)
             latents, text = encode_stage(bundle, token_ids, init_image, key,
-                                         init_noise, mask_px)
+                                         init_noise, mask_px, ip_image)
             state = scheduler.initial_state(plan, latents.shape)
             return latents, state, text
 
@@ -936,6 +1037,10 @@ class StableDiffusionPipeline:
         scheduler = self._make_scheduler(cfg)
         img2img = cfg.starting_image is not None
         inpaint = cfg.mask_image is not None
+        ip_on = cfg.ip_adapter_image is not None
+        if ip_on and self.ip_projection is None:
+            raise ValueError(
+                "ip_adapter_image requires load_ip_adapter(...) first")
         if inpaint and not img2img:
             raise ValueError("mask_image requires starting_image")
         if (self.unet.config.in_channels == self.latent_channels + 5
@@ -954,7 +1059,9 @@ class StableDiffusionPipeline:
 
         set_attention_implementation(cfg.attention_implementation)
         key = (cfg.scheduler, cfg.step_count, N, h, w, guidance_on, n_ctrl,
-               img2img, inpaint, cfg.unet_batch_one, cfg.rng == "jax",
+               img2img, inpaint, ip_on,
+               round(cfg.ip_adapter_scale, 4) if ip_on else 0,
+               cfg.unet_batch_one, cfg.rng == "jax",
                cfg.timestep_spacing, round(strength, 4),
                cfg.guidance_scale, cfg.timestep_shift,
                cfg.attention_implementation,
@@ -963,7 +1070,7 @@ class StableDiffusionPipeline:
         if key not in self._programs:
             self._programs[key] = self._build_program(
                 cfg, scheduler, plan, N, h, w, guidance_on, n_ctrl, img2img,
-                inpaint)
+                inpaint, ip_on)
         prog = self._programs[key]
 
         token_ids = {k: jnp.asarray(v) for k, v in self._tokenize(cfg).items()}
@@ -1020,6 +1127,17 @@ class StableDiffusionPipeline:
                 m = m.mean(axis=-1, keepdims=True)
             mask_px = jnp.asarray(np.broadcast_to(
                 np.clip(m, 0.0, 1.0), (N, h * ds, w * ds, 1)).copy())
+        ip_image = jnp.zeros((1, 1, 1, 1), jnp.float32)  # shape placeholder
+        if ip_on:
+            im = cfg.ip_adapter_image
+            S = self.ip_image_encoder[0].config.image_size
+            if not isinstance(im, np.ndarray):
+                im = pil_to_tensor(im, size=(S, S), value_range=(0.0, 1.0))
+            im = np.asarray(im, np.float32)
+            if im.ndim == 3:
+                im = im[None]
+            ip_image = jnp.asarray(np.broadcast_to(
+                im, (N, S, S, 3)).copy())
 
         staged = cfg.reduce_memory
         bundle = None if staged else self._params_bundle()
@@ -1027,7 +1145,8 @@ class StableDiffusionPipeline:
         if progress_handler is None and not staged:
             latents = prog["full"](bundle, token_ids, init_image, rng_key,
                                    init_noise, step_noises,
-                                   self._ctrl_images(cfg, N), mask_px)
+                                   self._ctrl_images(cfg, N), mask_px,
+                                   ip_image)
         else:
             # staged path: each stage's program gets only that stage's
             # weights (reduceMemory analog; reference loads/unloads each
@@ -1036,7 +1155,8 @@ class StableDiffusionPipeline:
                           else bundle)
             latents, state, text = prog["init"](enc_bundle, token_ids,
                                                 init_image, rng_key,
-                                                init_noise, mask_px)
+                                                init_noise, mask_px,
+                                                ip_image)
             del enc_bundle
             ctrl = self._ctrl_images(cfg, N)
             stopped = False
