@@ -13,6 +13,8 @@ from .base import (
     Scheduler,
     SchedulerPlan,
     TimestepSpacing,
+    karras_sigma_ramp,
+    sigma_to_timestep,
     spaced_timesteps,
     strength_slice,
 )
@@ -37,17 +39,30 @@ def _euler_pred_x0(sample, model_output, sigma, prediction_type):
 class EulerScheduler(Scheduler):
     def _plan_tables(self, num_inference_steps: int, strength: float):
         cfg = self.config
-        ts = spaced_timesteps(cfg.num_train_timesteps, num_inference_steps,
-                              cfg.timestep_spacing, cfg.steps_offset)
-        sigmas = _ratio_sigmas(cfg, ts)
+        if cfg.timestep_spacing == TimestepSpacing.KARRAS:
+            # diffusers use_karras_sigmas: Karras-ramped sigmas mapped back
+            # to (fractional) training timesteps — same construction the
+            # DPM++ scheduler uses (dpm_solver.py / reference DPMSolver
+            # sigmaToTimestep :247-267)
+            acp = cfg.alphas_cumprod()
+            all_sigmas = np.sqrt((1 - acp) / acp)
+            sigmas = karras_sigma_ramp(float(all_sigmas.min()),
+                                       float(all_sigmas.max()),
+                                       num_inference_steps)
+            ts = sigma_to_timestep(sigmas, all_sigmas)
+        else:
+            ts = spaced_timesteps(cfg.num_train_timesteps,
+                                  num_inference_steps,
+                                  cfg.timestep_spacing, cfg.steps_offset)
+            sigmas = _ratio_sigmas(cfg, ts)
         sigmas = np.concatenate([sigmas, [0.0]])
         start = strength_slice(num_inference_steps, strength)
         ts = ts[start:]
         sigmas = sigmas[start:]
-        if cfg.timestep_spacing in (TimestepSpacing.LINSPACE, TimestepSpacing.TRAILING):
-            init_noise_sigma = float(sigmas.max())
-        else:  # leading (diffusers parity)
+        if cfg.timestep_spacing == TimestepSpacing.LEADING:
             init_noise_sigma = float(np.sqrt(sigmas.max() ** 2 + 1))
+        else:  # linspace/trailing/karras (diffusers parity)
+            init_noise_sigma = float(sigmas.max())
         return ts, sigmas, init_noise_sigma
 
     def set_timesteps(self, num_inference_steps: int, strength: float = 1.0) -> SchedulerPlan:

@@ -314,3 +314,30 @@ def test_pndm_resume_eval_count_matches_reference_slice():
     for S, strength in ((10, 0.5), (20, 0.3), (10, 1.0)):
         plan = sched.set_timesteps(S, strength=strength)
         assert plan.num_steps == S + 1 - strength_slice(S, strength)
+
+
+def test_karras_spacing_euler_family():
+    """timestep_spacing='karras' on the sigma-space schedulers (diffusers
+    use_karras_sigmas): sigmas follow the Karras rho=7 ramp and timesteps
+    come back through sigma->t interpolation (in-range, descending)."""
+    from ml_stable_diffusion_tpu.schedulers import SCHEDULER_MAP
+    from ml_stable_diffusion_tpu.schedulers.base import (
+        SchedulerConfig,
+        TimestepSpacing,
+        karras_sigma_ramp,
+    )
+
+    for name in ("Euler", "EulerAncestral", "LMS"):
+        cfg = SchedulerConfig(timestep_spacing=TimestepSpacing.KARRAS)
+        sched = SCHEDULER_MAP[name](cfg)
+        plan = sched.set_timesteps(8)
+        sig = np.asarray(plan.table("sigmas"))[:8]
+        acp = cfg.alphas_cumprod()
+        all_sig = np.sqrt((1 - acp) / acp)
+        want = karras_sigma_ramp(float(all_sig.min()), float(all_sig.max()), 8)
+        np.testing.assert_allclose(sig, want, rtol=1e-5)
+        ts = np.asarray(plan.timesteps)
+        assert (np.diff(ts) < 0).all()
+        assert ts.min() >= 0 and ts.max() <= cfg.num_train_timesteps - 1
+        assert plan.init_noise_sigma == pytest.approx(float(all_sig.max()),
+                                                      rel=1e-5)
