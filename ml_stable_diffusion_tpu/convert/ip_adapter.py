@@ -1,9 +1,9 @@
 """IP-Adapter weight loading/porting (beyond the reference).
 
 On-disk format (h94/IP-Adapter): two groups —
-- ``image_proj``: ``proj.weight/bias`` + ``norm.weight/bias`` (the BASE
-  projection; "plus" variants carry a perceiver resampler instead —
-  ``latents``/``proj_in``/... keys — and are rejected with a clear error).
+- ``image_proj``: the BASE projection (``proj.weight/bias`` +
+  ``norm.weight/bias``) or the PLUS perceiver resampler
+  (``latents``/``proj_in``/``layers.*``/``proj_out``/``norm_out``).
 - ``ip_adapter``: ``{2i+1}.to_k_ip.weight`` / ``.to_v_ip.weight`` where the
   integer indexes diffusers' ``unet.attn_processors`` enumeration — attn1
   and attn2 of every transformer block in down -> mid -> up order, so the
@@ -50,11 +50,11 @@ def load_ip_adapter_state(source) -> tuple[dict, dict]:
         raise ValueError(
             f"not an IP-Adapter checkpoint (groups: {sorted(raw)})")
     image_proj = {k: _np(v) for k, v in raw["image_proj"].items()}
-    if "proj.weight" not in image_proj:
-        raise NotImplementedError(
-            "this checkpoint uses the ip-adapter-plus perceiver resampler "
-            f"(image_proj keys: {sorted(image_proj)}); only the BASE "
-            "projection (proj/norm) is supported")
+    if "proj.weight" not in image_proj and "latents" not in image_proj:
+        raise ValueError(
+            "unrecognized IP-Adapter projection layout (image_proj keys: "
+            f"{sorted(image_proj)}); expected the BASE (proj/norm) or PLUS "
+            "(latents/proj_in/layers.*) format")
     ip_layers = {k: _np(v) for k, v in raw["ip_adapter"].items()}
     return image_proj, ip_layers
 
@@ -118,3 +118,64 @@ def port_ip_image_projection(image_proj: dict) -> dict:
         "norm": {"scale": _np(image_proj["norm.weight"]),
                  "bias": _np(image_proj["norm.bias"])},
     }
+
+
+def resampler_geometry(image_proj: dict) -> dict:
+    """Infer IPResampler constructor kwargs from a PLUS image_proj group.
+
+    resampler.py geometry: latents (1, num_queries, dim); to_q
+    (inner, dim) with inner = heads*64 (dim_head is 64 in every published
+    plus adapter); proj_out (output_dim, dim); layers.{i}.* for depth i."""
+    lat = image_proj["latents"]
+    dim = lat.shape[-1]
+    inner = image_proj["layers.0.0.to_q.weight"].shape[0]
+    depth = 1 + max(int(k.split(".")[1]) for k in image_proj
+                    if k.startswith("layers."))
+    ff_in = image_proj["layers.0.1.1.weight"].shape[0]
+    return {
+        "output_dim": image_proj["proj_out.weight"].shape[0],
+        "dim": dim,
+        "depth": depth,
+        "dim_head": 64,
+        "heads": inner // 64,
+        "num_queries": lat.shape[1],
+        "ff_mult": ff_in // dim,
+    }
+
+
+def port_ip_resampler(image_proj: dict) -> dict:
+    """PLUS image_proj group -> IPResampler params.
+
+    h94 resampler key map: layers.{i}.0 = PerceiverAttention
+    (norm1/norm2/to_q/to_kv/to_out), layers.{i}.1 = Sequential
+    [0]=LayerNorm, [1]=Linear(in), [3]=Linear(out)."""
+    g = resampler_geometry(image_proj)
+    p: dict = {
+        "latents": _np(image_proj["latents"]),
+        "proj_in": {"kernel": _np(image_proj["proj_in.weight"]).T,
+                    "bias": _np(image_proj["proj_in.bias"])},
+        "proj_out": {"kernel": _np(image_proj["proj_out.weight"]).T,
+                     "bias": _np(image_proj["proj_out.bias"])},
+        "norm_out": {"scale": _np(image_proj["norm_out.weight"]),
+                     "bias": _np(image_proj["norm_out.bias"])},
+    }
+    for i in range(g["depth"]):
+        a = f"layers.{i}.0"
+        p[f"layers_{i}_attn"] = {
+            "norm1": {"scale": _np(image_proj[f"{a}.norm1.weight"]),
+                      "bias": _np(image_proj[f"{a}.norm1.bias"])},
+            "norm2": {"scale": _np(image_proj[f"{a}.norm2.weight"]),
+                      "bias": _np(image_proj[f"{a}.norm2.bias"])},
+            "to_q": {"kernel": _np(image_proj[f"{a}.to_q.weight"]).T},
+            "to_kv": {"kernel": _np(image_proj[f"{a}.to_kv.weight"]).T},
+            "to_out": {"kernel": _np(image_proj[f"{a}.to_out.weight"]).T},
+        }
+        f = f"layers.{i}.1"
+        p[f"layers_{i}_ff_norm"] = {
+            "scale": _np(image_proj[f"{f}.0.weight"]),
+            "bias": _np(image_proj[f"{f}.0.bias"])}
+        p[f"layers_{i}_ff_in"] = {
+            "kernel": _np(image_proj[f"{f}.1.weight"]).T}
+        p[f"layers_{i}_ff_out"] = {
+            "kernel": _np(image_proj[f"{f}.3.weight"]).T}
+    return p

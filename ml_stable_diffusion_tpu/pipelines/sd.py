@@ -246,9 +246,11 @@ class StableDiffusionPipeline:
                 f"this pipeline's denoiser is {type(self.unet).__name__}")
         from ..convert.ip_adapter import (load_ip_adapter_state,
                                           port_ip_adapter,
-                                          port_ip_image_projection)
+                                          port_ip_image_projection,
+                                          port_ip_resampler,
+                                          resampler_geometry)
         from ..convert.lora import _get, _set
-        from ..models.ip_adapter import IPImageProjection
+        from ..models.ip_adapter import IPImageProjection, IPResampler
 
         image_proj_sd, ip_layers = load_ip_adapter_state(source)
         ported = port_ip_adapter(self.unet.config, ip_layers)
@@ -261,11 +263,25 @@ class StableDiffusionPipeline:
         self.unet_params = params
 
         cross = self.unet.config.cross_attention_dim
-        num_tokens = image_proj_sd["proj.weight"].shape[0] // cross
-        proj = IPImageProjection(cross, num_tokens, dtype=self.unet.dtype)
+        if "latents" in image_proj_sd:  # PLUS: perceiver resampler over the
+            # CLIP penultimate patch states
+            geom = resampler_geometry(image_proj_sd)
+            if geom["output_dim"] != cross:
+                raise ValueError(
+                    f"adapter output dim {geom['output_dim']} != UNet "
+                    f"cross-attention dim {cross} — wrong base model?")
+            proj = IPResampler(dtype=self.unet.dtype, **geom)
+            proj_params = port_ip_resampler(image_proj_sd)
+            embed_key = "penultimate"
+        else:
+            num_tokens = image_proj_sd["proj.weight"].shape[0] // cross
+            proj = IPImageProjection(cross, num_tokens,
+                                     dtype=self.unet.dtype)
+            proj_params = port_ip_image_projection(image_proj_sd)
+            embed_key = "image_embeds"
         self.ip_projection = (proj, jax.tree.map(
-            lambda a: jnp.asarray(a, self.unet.dtype),
-            port_ip_image_projection(image_proj_sd)))
+            lambda a: jnp.asarray(a, self.unet.dtype), proj_params),
+            embed_key)
         if not isinstance(image_encoder, tuple):
             from ..convert.clip_vision import load_clip_vision
 
@@ -713,10 +729,12 @@ class StableDiffusionPipeline:
             ip_extra = {}
             if ip_on:
                 # image tokens computed once per program; the negative CFG
-                # branch conditions on ZERO image embeddings
+                # branch conditions on ZERO image embeddings.  BASE adapters
+                # project the pooled image_embeds; PLUS resamples the
+                # penultimate patch states.
+                proj, _, embed_key = self.ip_projection
                 emb = self.ip_image_encoder[0].apply(
-                    {"params": bundle["ip_vision"]}, ip_image)["image_embeds"]
-                proj = self.ip_projection[0]
+                    {"params": bundle["ip_vision"]}, ip_image)[embed_key]
                 ip_extra = {
                     "ip_pos": proj.apply({"params": bundle["ip_proj"]}, emb),
                     "ip_neg": proj.apply({"params": bundle["ip_proj"]},

@@ -69,11 +69,65 @@ def test_port_ip_adapter_mapping_and_errors():
                                 "1.to_v_ip.weight": ip_layers["1.to_v_ip.weight"]})
 
 
-def test_plus_variant_rejected():
-    with pytest.raises(NotImplementedError, match="resampler"):
+def test_unknown_projection_rejected():
+    with pytest.raises(ValueError, match="projection layout"):
         load_ip_adapter_state({
-            "image_proj": {"latents": np.zeros((4, 8), np.float32)},
+            "image_proj": {"weird": np.zeros((4, 8), np.float32)},
             "ip_adapter": {}})
+
+
+def _plus_image_proj(rng, dim=16, depth=2, heads=2, dim_head=64,
+                     num_queries=4, embed_dim=16, out_dim=48, ff_mult=2):
+    """Synthetic h94-resampler-layout image_proj group."""
+    inner = heads * dim_head
+    g = {"latents": rng.normal(size=(1, num_queries, dim)).astype(np.float32),
+         "proj_in.weight": rng.normal(size=(dim, embed_dim)).astype(np.float32) * .1,
+         "proj_in.bias": np.zeros((dim,), np.float32),
+         "proj_out.weight": rng.normal(size=(out_dim, dim)).astype(np.float32) * .1,
+         "proj_out.bias": np.zeros((out_dim,), np.float32),
+         "norm_out.weight": np.ones((out_dim,), np.float32),
+         "norm_out.bias": np.zeros((out_dim,), np.float32)}
+    for i in range(depth):
+        a = f"layers.{i}.0"
+        g[f"{a}.norm1.weight"] = np.ones((dim,), np.float32)
+        g[f"{a}.norm1.bias"] = np.zeros((dim,), np.float32)
+        g[f"{a}.norm2.weight"] = np.ones((dim,), np.float32)
+        g[f"{a}.norm2.bias"] = np.zeros((dim,), np.float32)
+        g[f"{a}.to_q.weight"] = rng.normal(size=(inner, dim)).astype(np.float32) * .1
+        g[f"{a}.to_kv.weight"] = rng.normal(size=(2 * inner, dim)).astype(np.float32) * .1
+        g[f"{a}.to_out.weight"] = rng.normal(size=(dim, inner)).astype(np.float32) * .1
+        f = f"layers.{i}.1"
+        g[f"{f}.0.weight"] = np.ones((dim,), np.float32)
+        g[f"{f}.0.bias"] = np.zeros((dim,), np.float32)
+        g[f"{f}.1.weight"] = rng.normal(size=(ff_mult * dim, dim)).astype(np.float32) * .1
+        g[f"{f}.3.weight"] = rng.normal(size=(dim, ff_mult * dim)).astype(np.float32) * .1
+    return g
+
+
+def test_resampler_geometry_and_port():
+    from ml_stable_diffusion_tpu.convert.ip_adapter import (
+        port_ip_resampler,
+        resampler_geometry,
+    )
+    from ml_stable_diffusion_tpu.models.ip_adapter import IPResampler
+
+    rng = np.random.default_rng(3)
+    g = _plus_image_proj(rng)
+    geom = resampler_geometry(g)
+    assert geom == {"output_dim": 48, "dim": 16, "depth": 2, "dim_head": 64,
+                    "heads": 2, "num_queries": 4, "ff_mult": 2}
+    params = port_ip_resampler(g)
+    model = IPResampler(**geom)
+    patches = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    out = model.apply({"params": params}, jnp.asarray(patches))
+    assert out.shape == (2, 4, 48)
+    assert np.isfinite(np.asarray(out)).all()
+    # the ported params match what init would create (tree compatibility)
+    init = jax.jit(model.init)(jax.random.key(0),
+                               jnp.zeros((1, 5, 16)))["params"]
+    got = jax.tree.map(lambda a: a.shape, params)
+    want = jax.tree.map(lambda a: a.shape, init)
+    assert got == want
 
 
 def test_unet_ip_identities():
@@ -242,3 +296,34 @@ def test_ip_requires_load(ip_pipe, tmp_path_factory):
         plain.generate_images(
             _cfg(ip_adapter_image=np.zeros((16, 16, 3), np.float32)),
             image_hw=HW)
+
+
+def test_pipeline_ip_adapter_plus_e2e(tmp_path_factory):
+    """PLUS adapter end-to-end: the resampler consumes the vision
+    encoder's penultimate patch states and conditions generation."""
+    rng = np.random.default_rng(9)
+    tok = tiny_tokenizer(tmp_path_factory.mktemp("tokp"))
+    dec, enc = tiny_vae()
+    pipe = StableDiffusionPipeline(
+        tokenizer=tok, text_encoder=tiny_text_encoder(), unet=tiny_unet(),
+        vae_decoder=dec, vae_encoder=enc)
+    paths = cross_attention_paths(pipe.unet.config)
+    ip_layers = {}
+    for i, path in enumerate(paths):
+        node = pipe.unet_params
+        for k in path:
+            node = node[k]
+        inner = np.asarray(node["to_k"]["kernel"]).shape[1]
+        ip_layers[f"{2*i+1}.to_k_ip.weight"] = (
+            rng.normal(size=(inner, CTX_DIM)).astype(np.float32) * 0.1)
+        ip_layers[f"{2*i+1}.to_v_ip.weight"] = (
+            rng.normal(size=(inner, CTX_DIM)).astype(np.float32) * 0.1)
+    vis_model, vis_params = _tiny_vision()
+    # resampler over the tiny vision tower's penultimate states (hidden 16)
+    image_proj = _plus_image_proj(rng, embed_dim=16, out_dim=CTX_DIM)
+    pipe.load_ip_adapter({"image_proj": image_proj, "ip_adapter": ip_layers},
+                         (vis_model, vis_params))
+    img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    base = pipe.generate_images(_cfg(), image_hw=HW).latents
+    on = pipe.generate_images(_cfg(ip_adapter_image=img), image_hw=HW).latents
+    assert np.abs(on - base).max() > 1e-6
