@@ -29,7 +29,7 @@ def parser_spec() -> argparse.ArgumentParser:
     p.add_argument("--guidance-scale", type=float, default=7.5)
     p.add_argument("--image-count", type=int, default=1)
     p.add_argument("--scheduler", default="PNDM",
-                   help="PNDM|DPMSolverMultistep|DDIM|Euler|EulerAncestral|LMS|DiscreteFlow")
+                   help="PNDM|DPMSolverMultistep|DDIM|Euler|EulerAncestral|LMS|DiscreteFlow|LCM")
     p.add_argument("--timestep-spacing", default=None,
                    help="linspace|leading|trailing|karras")
     p.add_argument("--timestep-shift", type=float, default=3.0)

@@ -26,6 +26,7 @@ from .dpm_solver import DPMSolverMultistepScheduler
 from .pndm import PNDMScheduler
 from .lms import LMSScheduler
 from .flow import DiscreteFlowScheduler
+from .lcm import LCMScheduler
 
 SCHEDULER_MAP = {
     "DDIM": DDIMScheduler,
@@ -35,6 +36,7 @@ SCHEDULER_MAP = {
     "PNDM": PNDMScheduler,
     "LMS": LMSScheduler,
     "DiscreteFlow": DiscreteFlowScheduler,
+    "LCM": LCMScheduler,
 }
 
 
@@ -54,6 +56,7 @@ __all__ = [
     "PNDMScheduler",
     "LMSScheduler",
     "DiscreteFlowScheduler",
+    "LCMScheduler",
     "SCHEDULER_MAP",
     "get_available_schedulers",
 ]

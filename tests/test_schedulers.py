@@ -341,3 +341,72 @@ def test_karras_spacing_euler_family():
         assert ts.min() >= 0 and ts.max() <= cfg.num_train_timesteps - 1
         assert plan.init_noise_sigma == pytest.approx(float(all_sig.max()),
                                                       rel=1e-5)
+
+
+def test_lcm_timestep_grid_and_boundary_step():
+    """LCM analytic oracle: the timestep grid subsamples the 50-step DDIM
+    distillation grid; a step on a sample noised from known (x0, eps)
+    returns exactly c_out*x0_hat + c_skip*sample, re-noised to the next
+    grid point except on the final step."""
+    import jax.numpy as jnp
+
+    from ml_stable_diffusion_tpu.schedulers import SCHEDULER_MAP
+
+    sched = SCHEDULER_MAP["LCM"]()
+    plan = sched.set_timesteps(4)
+    np.testing.assert_array_equal(np.asarray(plan.timesteps),
+                                  [999, 759, 519, 279])
+    plan8 = sched.set_timesteps(8)
+    assert len(np.asarray(plan8.timesteps)) == 8
+    assert np.asarray(plan8.timesteps)[0] == 999
+
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    eps = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    noise = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+    acp = sched.config.alphas_cumprod()
+    for i, last in [(1, False), (3, True)]:
+        t = int(np.asarray(plan.timesteps)[i])
+        sample = np.sqrt(acp[t]) * x0 + np.sqrt(1 - acp[t]) * eps
+        # model predicts the exact eps -> pred_x0 == x0
+        _, out = sched.step(plan, None, jnp.asarray(eps), i,
+                            jnp.asarray(sample), noise=jnp.asarray(noise))
+        scaled = t * 10.0
+        c_skip = 0.25 / (scaled**2 + 0.25)
+        c_out = scaled / np.sqrt(scaled**2 + 0.25)
+        denoised = c_out * x0 + c_skip * sample
+        if last:
+            want = denoised
+        else:
+            t_prev = int(np.asarray(plan.timesteps)[i + 1])
+            want = (np.sqrt(acp[t_prev]) * denoised
+                    + np.sqrt(1 - acp[t_prev]) * noise)
+        np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_lcm_pipeline_e2e(tmp_path):
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+
+    dec, enc = tiny_vae()
+    pipe = StableDiffusionPipeline(
+        tokenizer=tiny_tokenizer(tmp_path), text_encoder=tiny_text_encoder(),
+        unet=tiny_unet(), vae_decoder=dec, vae_encoder=enc)
+    cfg = lambda seed: PipelineConfiguration(
+        prompt="a cat", step_count=4, seed=seed, guidance_scale=1.0,
+        scheduler="LCM", disable_safety=True)
+    a = pipe.generate_images(cfg(5), image_hw=(64, 64)).latents
+    b = pipe.generate_images(cfg(5), image_hw=(64, 64)).latents
+    c = pipe.generate_images(cfg(6), image_hw=(64, 64)).latents
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-6
