@@ -38,10 +38,23 @@ from ..schedulers import SCHEDULER_MAP
 from ..schedulers.base import Scheduler, SchedulerConfig, TimestepSpacing
 from ..utils.compile import sdtpu_jit
 from ..utils.image import nchw_to_nhwc, pil_to_tensor, tensor_to_pil
+from ..tokenizer.prompt_weights import weighted_token_rows
 from ..utils.rng import make_random_source
 from .config import PipelineConfiguration
 
 TEXT_LEN = 77
+
+
+def apply_prompt_weights(ctx, weights):
+    """Ecosystem "emphasis" semantics: scale each token's hidden state by
+    its prompt weight, then restore the tensor mean per prompt row (the
+    a1111 'original' renormalization — keeps overall activation magnitude
+    so emphasis shifts attention rather than global scale)."""
+    w = weights[..., None].astype(ctx.dtype)
+    mean_before = jnp.mean(ctx, axis=(1, 2), keepdims=True)
+    scaled = ctx * w
+    mean_after = jnp.mean(scaled, axis=(1, 2), keepdims=True)
+    return scaled * (mean_before / mean_after)
 
 
 @dataclasses.dataclass
@@ -476,9 +489,17 @@ class StableDiffusionPipeline:
                                   (0, 0)))
 
             return {"ml_embeds": np.stack([embed(t) for t in neg + pos])}
-        rows = [self.tokenizer.tokenize(t, max_length=TEXT_LEN)[0]
-                for t in neg + pos]
-        return {"ids": np.stack(rows)}
+        rows, wrows, any_w = [], [], False
+        for t in neg + pos:
+            ids, w, aw = weighted_token_rows(self.tokenizer, t, TEXT_LEN)
+            rows.append(np.asarray(ids, np.int32))
+            wrows.append(np.asarray(w, np.float32))
+            any_w = any_w or aw
+        out = {"ids": np.stack(rows)}
+        if any_w:  # only weighted prompts pay the scaling math (and plain
+            # prompts stay bit-identical)
+            out["weights"] = np.stack(wrows)
+        return out
 
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
@@ -490,7 +511,10 @@ class StableDiffusionPipeline:
             return {"context": ctx}
         out = self.text_encoder.apply(
             {"params": bundle["text_encoder"]}, token_inputs["ids"])
-        return {"context": out[self.text_embedding_key]}
+        ctx = out[self.text_embedding_key]
+        if "weights" in token_inputs:
+            ctx = apply_prompt_weights(ctx, token_inputs["weights"])
+        return {"context": ctx}
 
     # -- params bundle -----------------------------------------------------------
     #

@@ -46,14 +46,29 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
     def _tokenize(self, cfg: PipelineConfiguration):
         neg, pos = self._prompt_lists(cfg)
+        from ..tokenizer.prompt_weights import weighted_token_rows
+
         out = {}
+        any_w = False
         if self.text_encoder is not None:
-            out["ids"] = np.stack([
-                self.tokenizer.tokenize(t, max_length=TEXT_LEN)[0]
-                for t in neg + pos])
-        out["ids2"] = np.stack([
-            self.tokenizer2.tokenize(t, max_length=TEXT_LEN)[0]
-            for t in neg + pos])
+            rows, wrows = [], []
+            for t in neg + pos:
+                ids, w, aw = weighted_token_rows(self.tokenizer, t, TEXT_LEN)
+                rows.append(np.asarray(ids, np.int32))
+                wrows.append(np.asarray(w, np.float32))
+                any_w = any_w or aw
+            out["ids"] = np.stack(rows)
+            if any_w:
+                out["weights"] = np.stack(wrows)
+        rows2, wrows2, any_w2 = [], [], False
+        for t in neg + pos:
+            ids2, w2, aw2 = weighted_token_rows(self.tokenizer2, t, TEXT_LEN)
+            rows2.append(np.asarray(ids2, np.int32))
+            wrows2.append(np.asarray(w2, np.float32))
+            any_w2 = any_w2 or aw2
+        out["ids2"] = np.stack(rows2)
+        if any_w2:
+            out["weights2"] = np.stack(wrows2)
         # static flag: zero out empty negative embeddings (pipeline.py:183-187)
         out["zero_negative"] = np.asarray(
             self.force_zeros_for_empty_prompt and all(t == "" for t in neg))
@@ -74,14 +89,20 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
+        from .sd import apply_prompt_weights
+
         out2 = self.text_encoder2.apply(
             {"params": bundle["text_encoder2"]}, token_inputs["ids2"])
         ctx2 = out2["penultimate_hidden_state"]
+        if "weights2" in token_inputs:
+            ctx2 = apply_prompt_weights(ctx2, token_inputs["weights2"])
         pooled = out2["pooled_output"]
         if self.text_encoder is not None:
             out1 = self.text_encoder.apply(
                 {"params": bundle["text_encoder"]}, token_inputs["ids"])
             ctx1 = out1["penultimate_hidden_state"]
+            if "weights" in token_inputs:
+                ctx1 = apply_prompt_weights(ctx1, token_inputs["weights"])
             # concat [1,77,768]+[1,77,1280] -> 2048 (XLPipeline:285-313)
             ctx = jnp.concatenate([ctx1, ctx2], axis=-1)
         else:
