@@ -38,11 +38,55 @@ from ..schedulers import SCHEDULER_MAP
 from ..schedulers.base import Scheduler, SchedulerConfig, TimestepSpacing
 from ..utils.compile import sdtpu_jit
 from ..utils.image import nchw_to_nhwc, pil_to_tensor, tensor_to_pil
-from ..tokenizer.prompt_weights import weighted_token_rows
+from ..tokenizer.prompt_weights import (empty_chunk_row,
+                                        weighted_token_chunks)
 from ..utils.rng import make_random_source
 from .config import PipelineConfiguration
 
 TEXT_LEN = 77
+
+
+def _tokenize_chunked(tokenizer, texts, max_length=TEXT_LEN):
+    """Batch tokenization with attention weights + long-prompt windows.
+
+    -> (ids, weights, any_weighted) where ids is (B, max_length) for
+    single-window batches (the common case — bit-identical to plain
+    tokenize) or (B, k, max_length) when any prompt spans k > 1 windows
+    (shorter prompts pad with BOS+EOS rows, ecosystem behavior)."""
+    per = [weighted_token_chunks(tokenizer, t, max_length) for t in texts]
+    k = max(ids.shape[0] for ids, _, _ in per)
+    any_w = any(aw for _, _, aw in per)
+    if k == 1:
+        ids = np.stack([ids[0] for ids, _, _ in per])
+        weights = np.stack([w[0] for _, w, _ in per])
+        return ids, weights, any_w
+    empty = empty_chunk_row(tokenizer, max_length)
+    rows, wrows = [], []
+    for ids, w, _ in per:
+        pad = k - ids.shape[0]
+        if pad:
+            ids = np.concatenate([ids, np.tile(empty, (pad, 1))])
+            w = np.concatenate([w, np.ones((pad, max_length), np.float32)])
+        rows.append(ids)
+        wrows.append(w)
+    return np.stack(rows), np.stack(wrows), any_w
+
+
+def encode_text_chunked(apply_fn, ids, out_key):
+    """Run a CLIP encode over possibly-chunked ids.  (B, k, L) windows run
+    as one (B*k, L) batch; hidden states re-concatenate along the sequence
+    axis -> {out_key: (B, k*L, C), "pooled per-window": ...}."""
+    if ids.ndim == 2:
+        return apply_fn(ids), None
+    B, k, L = ids.shape
+    out = apply_fn(ids.reshape(B * k, L))
+    return out, (B, k, L)
+
+
+def _reseq(x, shape3):
+    """(B*k, L, C) hidden states -> (B, k*L, C)."""
+    B, k, L = shape3
+    return x.reshape(B, k * L, x.shape[-1])
 
 
 def apply_prompt_weights(ctx, weights):
@@ -489,16 +533,11 @@ class StableDiffusionPipeline:
                                   (0, 0)))
 
             return {"ml_embeds": np.stack([embed(t) for t in neg + pos])}
-        rows, wrows, any_w = [], [], False
-        for t in neg + pos:
-            ids, w, aw = weighted_token_rows(self.tokenizer, t, TEXT_LEN)
-            rows.append(np.asarray(ids, np.int32))
-            wrows.append(np.asarray(w, np.float32))
-            any_w = any_w or aw
-        out = {"ids": np.stack(rows)}
+        ids, weights, any_w = _tokenize_chunked(self.tokenizer, neg + pos)
+        out = {"ids": ids}
         if any_w:  # only weighted prompts pay the scaling math (and plain
             # prompts stay bit-identical)
-            out["weights"] = np.stack(wrows)
+            out["weights"] = weights
         return out
 
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
@@ -509,11 +548,16 @@ class StableDiffusionPipeline:
             ctx = proj.apply({"params": bundle["multilingual"]},
                              token_inputs["ml_embeds"])
             return {"context": ctx}
-        out = self.text_encoder.apply(
-            {"params": bundle["text_encoder"]}, token_inputs["ids"])
+        ids = token_inputs["ids"]
+        out, shape3 = encode_text_chunked(
+            lambda i: self.text_encoder.apply(
+                {"params": bundle["text_encoder"]}, i), ids, None)
         ctx = out[self.text_embedding_key]
+        if shape3 is not None:  # long prompt: windows concat along sequence
+            ctx = _reseq(ctx, shape3)
         if "weights" in token_inputs:
-            ctx = apply_prompt_weights(ctx, token_inputs["weights"])
+            w = token_inputs["weights"]
+            ctx = apply_prompt_weights(ctx, w.reshape(w.shape[0], -1))
         return {"context": ctx}
 
     # -- params bundle -----------------------------------------------------------

@@ -46,29 +46,42 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
     def _tokenize(self, cfg: PipelineConfiguration):
         neg, pos = self._prompt_lists(cfg)
-        from ..tokenizer.prompt_weights import weighted_token_rows
+        from ..tokenizer.prompt_weights import empty_chunk_row
+        from .sd import _tokenize_chunked
 
         out = {}
-        any_w = False
+        ids2, w2, any_w2 = _tokenize_chunked(self.tokenizer2, neg + pos)
         if self.text_encoder is not None:
-            rows, wrows = [], []
-            for t in neg + pos:
-                ids, w, aw = weighted_token_rows(self.tokenizer, t, TEXT_LEN)
-                rows.append(np.asarray(ids, np.int32))
-                wrows.append(np.asarray(w, np.float32))
-                any_w = any_w or aw
-            out["ids"] = np.stack(rows)
-            if any_w:
-                out["weights"] = np.stack(wrows)
-        rows2, wrows2, any_w2 = [], [], False
-        for t in neg + pos:
-            ids2, w2, aw2 = weighted_token_rows(self.tokenizer2, t, TEXT_LEN)
-            rows2.append(np.asarray(ids2, np.int32))
-            wrows2.append(np.asarray(w2, np.float32))
-            any_w2 = any_w2 or aw2
-        out["ids2"] = np.stack(rows2)
+            ids1, w1, any_w1 = _tokenize_chunked(self.tokenizer, neg + pos)
+            # the two encoders run over the SAME window count (their hidden
+            # states concatenate per window)
+            k1 = ids1.shape[1] if ids1.ndim == 3 else 1
+            k2 = ids2.shape[1] if ids2.ndim == 3 else 1
+            k = max(k1, k2)
+
+            def _to_k(ids, w, tok, have):
+                if k == 1:
+                    return ids, w
+                if ids.ndim == 2:
+                    ids, w = ids[:, None], w[:, None]
+                pad = k - ids.shape[1]
+                if pad:
+                    B = ids.shape[0]
+                    empty = np.tile(empty_chunk_row(tok, TEXT_LEN),
+                                    (B, pad, 1))
+                    ids = np.concatenate([ids, empty], axis=1)
+                    w = np.concatenate(
+                        [w, np.ones((B, pad, TEXT_LEN), np.float32)], axis=1)
+                return ids, w
+
+            ids1, w1 = _to_k(ids1, w1, self.tokenizer, k1)
+            ids2, w2 = _to_k(ids2, w2, self.tokenizer2, k2)
+            out["ids"] = ids1
+            if any_w1:
+                out["weights"] = w1
+        out["ids2"] = ids2
         if any_w2:
-            out["weights2"] = np.stack(wrows2)
+            out["weights2"] = w2
         # static flag: zero out empty negative embeddings (pipeline.py:183-187)
         out["zero_negative"] = np.asarray(
             self.force_zeros_for_empty_prompt and all(t == "" for t in neg))
@@ -89,21 +102,34 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
 
     def _encode_text(self, cfg: PipelineConfiguration, token_inputs: dict,
                      bundle: dict) -> dict:
-        from .sd import apply_prompt_weights
+        from .sd import _reseq, apply_prompt_weights, encode_text_chunked
 
-        out2 = self.text_encoder2.apply(
-            {"params": bundle["text_encoder2"]}, token_inputs["ids2"])
+        out2, shape3 = encode_text_chunked(
+            lambda i: self.text_encoder2.apply(
+                {"params": bundle["text_encoder2"]}, i),
+            token_inputs["ids2"], None)
         ctx2 = out2["penultimate_hidden_state"]
-        if "weights2" in token_inputs:
-            ctx2 = apply_prompt_weights(ctx2, token_inputs["weights2"])
         pooled = out2["pooled_output"]
+        if shape3 is not None:
+            ctx2 = _reseq(ctx2, shape3)
+            # pooled conditioning comes from the FIRST window
+            pooled = pooled.reshape(shape3[0], shape3[1], -1)[:, 0]
+        if "weights2" in token_inputs:
+            w2 = token_inputs["weights2"]
+            ctx2 = apply_prompt_weights(ctx2, w2.reshape(w2.shape[0], -1))
         if self.text_encoder is not None:
-            out1 = self.text_encoder.apply(
-                {"params": bundle["text_encoder"]}, token_inputs["ids"])
+            out1, shape31 = encode_text_chunked(
+                lambda i: self.text_encoder.apply(
+                    {"params": bundle["text_encoder"]}, i),
+                token_inputs["ids"], None)
             ctx1 = out1["penultimate_hidden_state"]
+            if shape31 is not None:
+                ctx1 = _reseq(ctx1, shape31)
             if "weights" in token_inputs:
-                ctx1 = apply_prompt_weights(ctx1, token_inputs["weights"])
-            # concat [1,77,768]+[1,77,1280] -> 2048 (XLPipeline:285-313)
+                w1 = token_inputs["weights"]
+                ctx1 = apply_prompt_weights(ctx1,
+                                            w1.reshape(w1.shape[0], -1))
+            # concat [1,S,768]+[1,S,1280] -> 2048 (XLPipeline:285-313)
             ctx = jnp.concatenate([ctx1, ctx2], axis=-1)
         else:
             ctx = ctx2

@@ -95,3 +95,49 @@ def weighted_token_rows(tokenizer, text: str, max_length: int = 77
     ids += [tokenizer.pad_id] * pad
     weights += [1.0] * pad
     return ids, weights, any_weighted
+
+
+def weighted_token_chunks(tokenizer, text: str, max_length: int = 77,
+                          max_chunks: int = 4):
+    """Long-prompt chunking (ecosystem behavior: prompts beyond the CLIP
+    window split into ``max_length-2``-token windows, each encoded with its
+    own BOS/EOS; contexts concatenate along the sequence axis).
+
+    -> (ids (k, max_length) int32, weights (k, max_length) float32,
+    any_weighted).  A single-window prompt returns exactly the
+    ``weighted_token_rows`` row (k=1, bit-identical)."""
+    import numpy as np
+
+    segments = parse_prompt_attention(text)
+    flat_ids: list[int] = []
+    flat_w: list[float] = []
+    for seg, w in segments:
+        seg_ids = tokenizer.encode(seg)
+        flat_ids += seg_ids
+        flat_w += [w] * len(seg_ids)
+    window = max_length - 2
+    cap = window * max_chunks
+    flat_ids, flat_w = flat_ids[:cap], flat_w[:cap]
+    rows, wrows = [], []
+    for lo in range(0, max(len(flat_ids), 1), window):
+        chunk = flat_ids[lo:lo + window]
+        cw = flat_w[lo:lo + window]
+        row = [tokenizer.bos_id] + chunk + [tokenizer.eos_id]
+        wrow = [1.0] + cw + [1.0]
+        row += [tokenizer.pad_id] * (max_length - len(row))
+        wrow += [1.0] * (max_length - len(wrow))
+        rows.append(row)
+        wrows.append(wrow)
+    ids = np.asarray(rows, np.int32)
+    weights = np.asarray(wrows, np.float32)
+    return ids, weights, bool((weights != 1.0).any())
+
+
+def empty_chunk_row(tokenizer, max_length: int = 77):
+    """A BOS+EOS+pad row — chunk padding when batched prompts need
+    differing window counts."""
+    import numpy as np
+
+    row = ([tokenizer.bos_id, tokenizer.eos_id]
+           + [tokenizer.pad_id] * (max_length - 2))
+    return np.asarray(row, np.int32)
