@@ -16,6 +16,12 @@ def port_controlnet(state_dict, config: UNetConfig) -> dict:
         },
     }
 
+    if config.addition_embed_type == "text_time":
+        p["add_embedding"] = {
+            "linear_1": _dense(sd, "add_embedding.linear_1"),
+            "linear_2": _dense(sd, "add_embedding.linear_2"),
+        }
+
     cond = {"conv_in": _conv(sd, "controlnet_cond_embedding.conv_in"),
             "conv_out": _conv(sd, "controlnet_cond_embedding.conv_out")}
     bi = 0

@@ -56,7 +56,7 @@ class ControlNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timesteps, encoder_hidden_states, cond_image,
-                 conditioning_scale: float = 1.0):
+                 conditioning_scale: float = 1.0, added_cond=None):
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -65,6 +65,21 @@ class ControlNetModel(nn.Module):
                                        cfg.flip_sin_to_cos, cfg.freq_shift)
         emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
                                 name="time_embedding")(t_emb.astype(self.dtype))
+        if cfg.addition_embed_type == "text_time":
+            # SDXL-family ControlNets carry the UNet's micro-conditioning
+            # embedding (diffusers ControlNetModel addition_embed_type)
+            assert added_cond is not None, "SDXL ControlNet needs added_cond"
+            time_ids = added_cond["time_ids"].reshape(-1)
+            id_emb = get_timestep_embedding(
+                time_ids, cfg.addition_time_embed_dim, cfg.flip_sin_to_cos,
+                cfg.freq_shift)
+            id_emb = id_emb.reshape(sample.shape[0], -1)
+            add = jnp.concatenate(
+                [added_cond["text_embeds"].astype(jnp.float32), id_emb],
+                axis=-1)
+            emb = emb + TimestepEmbedding(
+                cfg.time_embed_dim, dtype=self.dtype,
+                name="add_embedding")(add.astype(self.dtype))
 
         sample = sample.astype(self.dtype)
         encoder_hidden_states = encoder_hidden_states.astype(self.dtype)

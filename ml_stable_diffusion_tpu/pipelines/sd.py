@@ -702,9 +702,12 @@ class StableDiffusionPipeline:
         (ControlNetConditioningEmbedding); SD3 overrides (pooled conditioning
         + VAE-latent control input, mid residual None)."""
         cn_model, _ = self.controlnets[ci]
+        kw = {}
+        if getattr(cn_model.config, "addition_embed_type", None) is not None:
+            kw["added_cond"] = added_pos  # SDXL micro-conditioning
         return cn_model.apply(
             {"params": bundle["controlnets"][ci]}, latents_in, t,
-            ctx_pos, ctrl_image)
+            ctx_pos, ctrl_image, **kw)
 
     def _prepare_control_inputs(self, bundle, cfg, ctrl_images):
         """Per-program transform of the control images (identity for the

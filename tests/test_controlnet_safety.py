@@ -111,3 +111,64 @@ def test_safety_checker_flags_and_blanks():
     assert flags == [False] or flags == [True]
     if flags[0]:
         assert np.asarray(filtered[0]).max() == 0
+
+
+def _tiny_xl_controlnet():
+    cfg = dataclasses.replace(
+        tiny_unet(xl=True)[0].config, up_block_types=())
+    model = ControlNetModel(cfg)
+    added = {"text_embeds": jnp.zeros((1, 32)), "time_ids": jnp.zeros((1, 6))}
+    params = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, CTX_DIM)), jnp.zeros((1, 64, 64, 3)),
+        added_cond=added))(jax.random.key(6))["params"]
+    return model, params, added
+
+
+def test_xl_controlnet_added_cond():
+    """SDXL-family ControlNets carry the text_time micro-conditioning
+    embedding; it must exist in the tree and condition the residuals."""
+    model, params, added = _tiny_xl_controlnet()
+    assert "add_embedding" in params
+    # zero-init neutrality holds for the XL variant too
+    down, mid = model.apply({"params": params}, jnp.ones((1, 8, 8, 4)),
+                            jnp.ones((1,)), jnp.ones((1, 77, CTX_DIM)),
+                            jnp.ones((1, 64, 64, 3)), added_cond=added)
+    for r in down:
+        np.testing.assert_allclose(np.asarray(r), 0.0)
+    np.testing.assert_allclose(np.asarray(mid), 0.0)
+    # enliven ONLY the zero convs (random weights elsewhere — uniform
+    # weights would make the added embedding per-channel constant, which
+    # GroupNorm cancels): the added conditioning must change the residuals
+    params = dict(params)
+    for k in list(params):
+        if k.startswith("controlnet_"):
+            params[k] = jax.tree.map(lambda x: jnp.ones_like(x) * 0.01,
+                                     params[k])
+    args = (jnp.ones((1, 8, 8, 4)), jnp.ones((1,)),
+            jnp.ones((1, 77, CTX_DIM)), jnp.ones((1, 64, 64, 3)))
+    _, m1 = model.apply({"params": params}, *args, added_cond=added)
+    added2 = {"text_embeds": jnp.ones((1, 32)),
+              "time_ids": jnp.asarray([[512, 512, 0, 0, 512, 512]],
+                                      jnp.float32)}
+    _, m2 = model.apply({"params": params}, *args, added_cond=added2)
+    assert np.abs(np.asarray(m1) - np.asarray(m2)).max() > 1e-5
+
+
+def test_xl_controlnet_port_roundtrip():
+    """port_controlnet maps an XL-layout state dict (incl. add_embedding)
+    onto the init tree."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import flax_params_to_diffusers_sd
+
+    from ml_stable_diffusion_tpu.convert.controlnet import port_controlnet
+
+    model, params, _ = _tiny_xl_controlnet()
+    sd = flax_params_to_diffusers_sd(params, "controlnet")
+    ported = port_controlnet(sd, model.config)
+    got = jax.tree.map(lambda a: np.asarray(a).shape, ported)
+    want = jax.tree.map(lambda a: np.asarray(a).shape, params)
+    assert got == want
