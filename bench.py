@@ -205,6 +205,24 @@ def bench_pipeline(parts) -> float:
     run_once(0)  # warmup / compile
     headline = 1.0 / (_median([run_once(i + 1) for i in range(3)]) / STEPS)
 
+    # few-step serving: LCM 4-step generation through the same pipeline
+    # (the production pairing is apply_lora on an LCM-LoRA; speed is
+    # weight-value independent)
+    lcm_extra = {}
+    try:
+        def run_lcm(i):
+            gen = PipelineConfiguration(
+                prompt=prompts[i % len(prompts)], step_count=4,
+                guidance_scale=1.0, seed=2000 + i, disable_safety=True,
+                scheduler="LCM")
+            r = pipe.generate_images(gen, image_hw=(512, 512))
+            return r.seconds_per_step * 4
+        run_lcm(0)  # warmup / compile
+        lcm_extra = {"lcm_4step_e2e_s": round(
+            _median([run_lcm(i + 1) for i in range(3)]), 4)}
+    except Exception as e:  # never lose the headline
+        lcm_extra = {"lcm_error": f"{type(e).__name__}: {e}"[:200]}
+
     # Fixed-vs-marginal split: the generation includes per-call costs the
     # denoise loop doesn't scale with (text encode; on this dev host also a
     # ~30-45 ms axon-tunnel round trip for the latent fetch — CLAUDE.md:
@@ -223,7 +241,7 @@ def bench_pipeline(parts) -> float:
         }
     except Exception as e:  # never lose the headline
         slope_extra = {"pipeline_slope_error": f"{type(e).__name__}: {e}"[:200]}
-    return headline, slope_extra
+    return headline, {**slope_extra, **lcm_extra}
 
 
 def bench_palettized6(parts) -> dict:

@@ -189,8 +189,12 @@ def run(args) -> list:
                              "--ip-adapter-image")
         pipe.load_ip_adapter(args.ip_adapter, args.ip_image_encoder)
     for spec in args.textual_inversion:
+        # PATH[:TOKEN] — don't split Windows drive letters or paths whose
+        # colon tail still contains separators (mirrors the --lora parser)
         head, sep, tail = spec.rpartition(":")
-        path, tok = (head, tail) if sep else (spec, "")
+        path, tok = spec, ""
+        if sep and len(head) > 1 and "/" not in tail and "\\" not in tail:
+            path, tok = head, tail
         pipe.load_textual_inversion(path, token=tok or None)
     for spec in args.lora:
         # PATH[:SCALE] — the scale suffix must parse as a float (Windows
@@ -232,6 +236,9 @@ def run(args) -> list:
 
     ip_adapter_image = None
     if args.ip_adapter_image:
+        if pipe.ip_image_encoder is None:
+            raise SystemExit("--ip-adapter-image requires --ip-adapter "
+                             "(and --ip-image-encoder)")
         from PIL import Image
 
         S = pipe.ip_image_encoder[0].config.image_size

@@ -62,7 +62,11 @@ def load_ip_adapter_state(source) -> tuple[dict, dict]:
 def cross_attention_paths(config: UNetConfig) -> list[tuple[str, ...]]:
     """Flax param paths of every cross-attention (attn2) module, in the
     diffusers attn_processors enumeration order: down blocks (ascending),
-    mid, up blocks (ascending)."""
+    UP blocks (ascending), MID LAST — torch registers submodules at
+    attribute-assignment time, and UNet2DConditionModel assigns the empty
+    ``up_blocks`` ModuleList before ``mid_block``, so named_modules (and
+    every published adapter's indices) put the mid attention at the END
+    (e.g. SD-1.5 index 31 of 0..31)."""
     paths: list[tuple[str, ...]] = []
 
     def spatial(prefix: str, depth: int):
@@ -76,8 +80,6 @@ def cross_attention_paths(config: UNetConfig) -> list[tuple[str, ...]]:
         for li in range(config.layers_per_block):
             spatial(f"down_blocks_{bi}_attentions_{li}",
                     config.transformer_layers_per_block[bi])
-    spatial("mid_block_attentions_0",
-            config.transformer_layers_per_block[-1])
     for bi, btype in enumerate(config.up_block_types):
         if btype != "CrossAttnUpBlock2D":
             continue
@@ -85,6 +87,8 @@ def cross_attention_paths(config: UNetConfig) -> list[tuple[str, ...]]:
         for li in range(config.layers_per_block + 1):
             spatial(f"up_blocks_{bi}_attentions_{li}",
                     config.transformer_layers_per_block[down_bi])
+    spatial("mid_block_attentions_0",
+            config.transformer_layers_per_block[-1])
     return paths
 
 

@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.activations import gelu_erf
+
 
 class IPImageProjection(nn.Module):
     """CLIP image embedding (B, E) -> (B, num_tokens, cross_attention_dim)
@@ -106,7 +108,7 @@ class IPResampler(nn.Module):
                              name=f"layers_{i}_ff_norm")(latents)
             h = nn.Dense(self.dim * self.ff_mult, use_bias=False,
                          dtype=self.dtype, name=f"layers_{i}_ff_in")(h)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_erf(h)  # exact GELU at half the erfc-lowering VPU cost
             latents = latents + nn.Dense(self.dim, use_bias=False,
                                          dtype=self.dtype,
                                          name=f"layers_{i}_ff_out")(h)

@@ -72,10 +72,10 @@ def _tokenize_chunked(tokenizer, texts, max_length=TEXT_LEN):
     return np.stack(rows), np.stack(wrows), any_w
 
 
-def encode_text_chunked(apply_fn, ids, out_key):
+def encode_text_chunked(apply_fn, ids):
     """Run a CLIP encode over possibly-chunked ids.  (B, k, L) windows run
-    as one (B*k, L) batch; hidden states re-concatenate along the sequence
-    axis -> {out_key: (B, k*L, C), "pooled per-window": ...}."""
+    as one (B*k, L) batch -> (encoder outputs, (B, k, L) or None); hidden
+    states re-concatenate along the sequence axis via ``_reseq``."""
     if ids.ndim == 2:
         return apply_fn(ids), None
     B, k, L = ids.shape
@@ -551,7 +551,7 @@ class StableDiffusionPipeline:
         ids = token_inputs["ids"]
         out, shape3 = encode_text_chunked(
             lambda i: self.text_encoder.apply(
-                {"params": bundle["text_encoder"]}, i), ids, None)
+                {"params": bundle["text_encoder"]}, i), ids)
         ctx = out[self.text_embedding_key]
         if shape3 is not None:  # long prompt: windows concat along sequence
             ctx = _reseq(ctx, shape3)
@@ -799,17 +799,30 @@ class StableDiffusionPipeline:
             text = self._encode_text(cfg, token_ids, bundle)
             ip_extra = {}
             if ip_on:
-                # image tokens computed once per program; the negative CFG
-                # branch conditions on ZERO image embeddings.  BASE adapters
-                # project the pooled image_embeds; PLUS resamples the
-                # penultimate patch states.
+                # image tokens computed once per program.  BASE adapters
+                # project the pooled image_embeds and take ZERO embeddings
+                # for the negative CFG branch; PLUS resamples the
+                # penultimate patch states of a preprocessing-space zero
+                # image (pixels = CLIP mean, i.e. normalized zeros) — the
+                # h94/diffusers uncond conventions respectively.
                 proj, _, embed_key = self.ip_projection
-                emb = self.ip_image_encoder[0].apply(
-                    {"params": bundle["ip_vision"]}, ip_image)[embed_key]
+                enc = self.ip_image_encoder[0]
+                emb = enc.apply({"params": bundle["ip_vision"]},
+                                ip_image)[embed_key]
+                if embed_key == "penultimate":
+                    from ..models.safety import CLIP_IMAGE_MEAN
+
+                    neutral = jnp.broadcast_to(
+                        jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32),
+                        ip_image.shape)
+                    emb_neg = enc.apply({"params": bundle["ip_vision"]},
+                                        neutral)[embed_key]
+                else:
+                    emb_neg = jnp.zeros_like(emb)
                 ip_extra = {
                     "ip_pos": proj.apply({"params": bundle["ip_proj"]}, emb),
                     "ip_neg": proj.apply({"params": bundle["ip_proj"]},
-                                         jnp.zeros_like(emb)),
+                                         emb_neg),
                 }
             if init_noise is None:
                 noise = jax.random.normal(jax.random.fold_in(key, 0),
@@ -986,14 +999,17 @@ class StableDiffusionPipeline:
             for pi, (lo, hi, call_unet) in enumerate(phases):
                 ctx_neg, ctx_pos, added_neg, added_pos = \
                     self._phase_conditioning(cfg, text, N, call_unet)
-                # IP tokens apply to the base UNet only (the SDXL refiner
-                # carries no decoupled-attention weights)
-                phase_ip = (ip_pair if call_unet == self._call_unet
-                            else None)
+                # IP tokens and 9-ch inpaint extras apply to the base
+                # UNet only (the SDXL refiner carries neither the
+                # decoupled-attention weights nor 9 input channels)
+                base_phase = call_unet == self._call_unet
+                phase_ip = ip_pair if base_phase else None
+                phase_extras9 = extras9 if base_phase else None
                 out.append((lo, hi, make_denoiser(bundle, call_unet, ctx_neg,
                                                   ctx_pos, added_neg,
                                                   added_pos, ctrl_images,
-                                                  extras9, phase_ip), ipack))
+                                                  phase_extras9, phase_ip),
+                            ipack))
             return out
 
         def full_run(bundle, token_ids, init_image, key, init_noise,

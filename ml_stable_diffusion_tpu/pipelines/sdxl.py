@@ -59,7 +59,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             k2 = ids2.shape[1] if ids2.ndim == 3 else 1
             k = max(k1, k2)
 
-            def _to_k(ids, w, tok, have):
+            def _to_k(ids, w, tok):
                 if k == 1:
                     return ids, w
                 if ids.ndim == 2:
@@ -74,8 +74,8 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
                         [w, np.ones((B, pad, TEXT_LEN), np.float32)], axis=1)
                 return ids, w
 
-            ids1, w1 = _to_k(ids1, w1, self.tokenizer, k1)
-            ids2, w2 = _to_k(ids2, w2, self.tokenizer2, k2)
+            ids1, w1 = _to_k(ids1, w1, self.tokenizer)
+            ids2, w2 = _to_k(ids2, w2, self.tokenizer2)
             out["ids"] = ids1
             if any_w1:
                 out["weights"] = w1
@@ -107,7 +107,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         out2, shape3 = encode_text_chunked(
             lambda i: self.text_encoder2.apply(
                 {"params": bundle["text_encoder2"]}, i),
-            token_inputs["ids2"], None)
+            token_inputs["ids2"])
         ctx2 = out2["penultimate_hidden_state"]
         pooled = out2["pooled_output"]
         if shape3 is not None:
@@ -121,7 +121,7 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
             out1, shape31 = encode_text_chunked(
                 lambda i: self.text_encoder.apply(
                     {"params": bundle["text_encoder"]}, i),
-                token_inputs["ids"], None)
+                token_inputs["ids"])
             ctx1 = out1["penultimate_hidden_state"]
             if shape31 is not None:
                 ctx1 = _reseq(ctx1, shape31)

@@ -117,6 +117,12 @@ def weighted_token_chunks(tokenizer, text: str, max_length: int = 77,
         flat_w += [w] * len(seg_ids)
     window = max_length - 2
     cap = window * max_chunks
+    if len(flat_ids) > cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "prompt spans %d tokens; truncating to %d windows (%d tokens)",
+            len(flat_ids), max_chunks, cap)
     flat_ids, flat_w = flat_ids[:cap], flat_w[:cap]
     rows, wrows = [], []
     for lo in range(0, max(len(flat_ids), 1), window):

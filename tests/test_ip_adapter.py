@@ -26,15 +26,17 @@ HW = (64, 64)
 
 def test_cross_attention_enumeration_sd21():
     """SD-2.1 geometry has 16 cross-attentions; the enumeration is
-    down -> mid -> up (diffusers attn_processors order), so the ip weight
-    indices are the odd numbers 1..31."""
+    down -> up -> MID LAST (diffusers attn_processors order: torch
+    registers the up_blocks ModuleList attribute before mid_block), so the
+    ip weight indices are the odd numbers 1..31 with the mid attention at
+    index 31."""
     paths = cross_attention_paths(UNetConfig.sd21())
     assert len(paths) == 16
     assert paths[0][0] == "down_blocks_0_attentions_0"
     assert paths[5][0] == "down_blocks_2_attentions_1"
-    assert paths[6][0] == "mid_block_attentions_0"
-    assert paths[7][0] == "up_blocks_1_attentions_0"
-    assert paths[-1][0] == "up_blocks_3_attentions_2"
+    assert paths[6][0] == "up_blocks_1_attentions_0"
+    assert paths[14][0] == "up_blocks_3_attentions_2"
+    assert paths[-1][0] == "mid_block_attentions_0"
 
 
 def test_port_ip_adapter_mapping_and_errors():
@@ -47,7 +49,7 @@ def test_port_ip_adapter_mapping_and_errors():
         num_attention_heads=(2, 2), cross_attention_dim=CTX_DIM,
         norm_num_groups=8)
     paths = cross_attention_paths(cfg_t)
-    assert len(paths) == 4  # down0, mid, up1 x2
+    assert len(paths) == 4  # down0, up1 x2, mid (mid enumerates last)
     rng = np.random.default_rng(0)
     ip_layers = {}
     for i, path in enumerate(paths):
