@@ -107,6 +107,7 @@ class GenerationServer:
         inputs.  Everything else falls back to a direct (unbatched) call."""
         return (cfg.image_count == 1
                 and cfg.starting_image is None
+                and cfg.ip_adapter_image is None  # per-request image conds
                 and not cfg.controlnet_inputs
                 and not isinstance(cfg.prompt, (list, tuple)))
 
