@@ -104,6 +104,7 @@ def test_half_mask_keeps_known_region_prompt_invariant(pipe):
     assert np.abs(a[:, :, :4, :] - b[:, :, :4, :]).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_progress_callback_path_blends_identically(pipe):
     """The per-step (callback) program path must produce the same inpainted
     latents as the fused scan path."""
@@ -148,6 +149,7 @@ def test_unet9_requires_mask(pipe9):
         pipe9.generate_images(_cfg(), image_hw=HW)
 
 
+@pytest.mark.slow
 def test_unet9_inpaint_runs_and_mask_matters(pipe9):
     img = _init_image()
     m0 = np.zeros((64, 64), np.float32)

@@ -254,6 +254,7 @@ def _cfg(**kw):
     return PipelineConfiguration(**kw)
 
 
+@pytest.mark.slow
 def test_pipeline_ip_adapter_e2e(ip_pipe):
     rng = np.random.default_rng(1)
     img_a = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
@@ -269,6 +270,7 @@ def test_pipeline_ip_adapter_e2e(ip_pipe):
     np.testing.assert_allclose(z, base, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ip_adapter_with_inpaint(ip_pipe):
     """IP conditioning composes with the inpainting pack: kept region is
     still image-invariant, repainted region responds to the ip image."""
@@ -300,6 +302,7 @@ def test_ip_requires_load(ip_pipe, tmp_path_factory):
             image_hw=HW)
 
 
+@pytest.mark.slow
 def test_pipeline_ip_adapter_plus_e2e(tmp_path_factory):
     """PLUS adapter end-to-end: the resampler consumes the vision
     encoder's penultimate patch states and conditions generation."""

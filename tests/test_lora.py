@@ -238,6 +238,7 @@ def test_merge_into_tiny_unet():
     assert merged["conv_in"] is params["conv_in"]
 
 
+@pytest.mark.slow
 def test_pipeline_apply_stack_clear(tmp_path):
     import jax.numpy as jnp
 

@@ -148,6 +148,7 @@ def test_pipeline_long_prompt(tmp_path):
     assert np.abs(r3.latents - r.latents).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_sdxl_long_prompt_dual_encoders(tmp_path):
     """Both SDXL encoders run over the same window count; pooled
     conditioning comes from the first window."""
