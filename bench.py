@@ -9,27 +9,35 @@ Random bf16 weights (identical FLOPs/layout to ported real weights — speed
 is weight-value independent).  The HEADLINE measures the real serving path —
 ``StableDiffusionPipeline.generate_images`` (text encode + denoise scan in
 one jitted program, program cache, bundle materialization) — as the median
-of 3 runs with distinct seeds/prompts; the raw hand-rolled scan rides in
-``extra.raw_scan_iter_s``.
+of 3 runs with distinct seeds/prompts.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-``extra`` carries driver-verified secondary numbers (SDXL 1024 e2e latency,
-6-bit palettized compressed serving) — each fail-safe so the headline
-metric always lands.  Set SDTPU_BENCH_EXTRAS=0 to skip them.
+Output protocol (designed so a driver timeout can never lose the headline,
+which is exactly what happened in round 3):
+
+1. The headline JSON line is printed (flushed) the moment it is known.
+2. Extras (raw scan, 40-step slope, LCM, dynamic batching, palettized,
+   W8A8, SDXL, SD3) then run under a wall-clock budget
+   (``SDTPU_BENCH_BUDGET_S``, default 1200 s from process start); extras
+   that don't fit are recorded in ``extra.skipped_extras``.
+3. ONE final enriched JSON line is printed at the end.
+
+A consumer that tails the output and parses the LAST JSON line gets the
+enriched record on success and the bare headline on timeout.  Set
+SDTPU_BENCH_EXTRAS=0 to skip extras entirely.
 """
 
 import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
+_T0 = time.monotonic()
 
 import jax
 
-# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
-# JAX_PLATFORMS) — the persistent cache only engages via jax.config
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +48,11 @@ from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
 BASELINE_ITERS_PER_S = 3.07  # iPad Pro M2, reference README.md:74
 STEPS = 20
 GUIDANCE = 7.5
+BUDGET_S = float(os.environ.get("SDTPU_BENCH_BUDGET_S", "1200"))
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
 
 
 def _sd21_parts():
@@ -145,12 +158,18 @@ def _rand_tree(model, init_args, dtype, seed=0, scale=0.02):
         for k, s in zip(keys, leaves)])
 
 
-def bench_pipeline(parts) -> float:
-    """HEADLINE: the real serving path — StableDiffusionPipeline.
-    generate_images (program cache, _materialize_bundle, interceptor
-    wrapping, text encode + denoise scan in ONE jitted program) with
-    SD-2.1-dimension random weights.  Median seconds/step of 3 runs with
-    distinct seeds+prompts (distinct args defeat tunnel replay)."""
+PROMPTS = ["a photo of an astronaut riding a horse on mars",
+           "a cat wearing a tiny hat", "a watercolor bridge at dawn",
+           "a robot reading in a library", "a lighthouse in a storm",
+           "an origami fox in a forest", "a neon city street at night",
+           "a bowl of ramen, studio light"]
+
+
+def build_pipeline_rig(parts):
+    """The real serving stack with SD-2.1-dimension random weights:
+    StableDiffusionPipeline (program cache, _materialize_bundle,
+    interceptor wrapping, text encode + denoise scan in ONE jitted
+    program)."""
     import json as _json
     import pathlib
     import tempfile
@@ -190,58 +209,69 @@ def bench_pipeline(parts) -> float:
         text_encoder=(te, te_params), unet=(model, unet_params),
         vae_decoder=(dec, dec_params))
 
-    prompts = ["a photo of an astronaut riding a horse on mars",
-               "a cat wearing a tiny hat", "a watercolor bridge at dawn",
-               "a robot reading in a library"]
-
-    def run_once(i, steps=STEPS):
+    def run_once(i, steps=STEPS, scheduler="DPMSolverMultistep",
+                 guidance=GUIDANCE, batch=1):
         gen = PipelineConfiguration(
-            prompt=prompts[i % len(prompts)], step_count=steps,
-            guidance_scale=GUIDANCE, seed=1000 + i, disable_safety=True,
-            scheduler="DPMSolverMultistep")
+            prompt=([PROMPTS[(i + j) % len(PROMPTS)] for j in range(batch)]
+                    if batch > 1 else PROMPTS[i % len(PROMPTS)]),
+            step_count=steps, guidance_scale=guidance,
+            seed=(list(range(1000 + i, 1000 + i + batch)) if batch > 1
+                  else 1000 + i),
+            image_count=batch, disable_safety=True, scheduler=scheduler)
         r = pipe.generate_images(gen, image_hw=(512, 512))
         return r.seconds_per_step * steps
 
+    return pipe, run_once
+
+
+def bench_pipeline_headline(run_once) -> float:
+    """HEADLINE: median seconds/step of 3 generate_images runs with
+    distinct seeds+prompts (distinct args defeat tunnel replay)."""
     run_once(0)  # warmup / compile
-    headline = 1.0 / (_median([run_once(i + 1) for i in range(3)]) / STEPS)
+    return 1.0 / (_median([run_once(i + 1) for i in range(3)]) / STEPS)
 
-    # few-step serving: LCM 4-step generation through the same pipeline
-    # (the production pairing is apply_lora on an LCM-LoRA; speed is
-    # weight-value independent)
-    lcm_extra = {}
-    try:
-        def run_lcm(i):
-            gen = PipelineConfiguration(
-                prompt=prompts[i % len(prompts)], step_count=4,
-                guidance_scale=1.0, seed=2000 + i, disable_safety=True,
-                scheduler="LCM")
-            r = pipe.generate_images(gen, image_hw=(512, 512))
-            return r.seconds_per_step * 4
-        run_lcm(0)  # warmup / compile
-        lcm_extra = {"lcm_4step_e2e_s": round(
-            _median([run_lcm(i + 1) for i in range(3)]), 4)}
-    except Exception as e:  # never lose the headline
-        lcm_extra = {"lcm_error": f"{type(e).__name__}: {e}"[:200]}
 
+def bench_pipeline_slope(run_once) -> dict:
     # Fixed-vs-marginal split: the generation includes per-call costs the
     # denoise loop doesn't scale with (text encode; on this dev host also a
     # ~30-45 ms axon-tunnel round trip for the latent fetch — CLAUDE.md:
     # block_until_ready alone does not force that sync).  Slope over two
     # step counts isolates the true per-step cost.
-    slope_extra = {}
-    try:
-        run_once(0, steps=2 * STEPS)  # warmup / compile the 40-step program
-        t40 = _median([run_once(i + 1, steps=2 * STEPS) for i in range(2)])
-        t20 = _median([run_once(i + 10) for i in range(2)])
-        slope = (t40 - t20) / STEPS
-        slope_extra = {
-            "pipeline_marginal_iter_s": round(1.0 / slope, 3),
-            "pipeline_fixed_overhead_ms": round((t20 - STEPS * slope) * 1e3,
-                                                1),
-        }
-    except Exception as e:  # never lose the headline
-        slope_extra = {"pipeline_slope_error": f"{type(e).__name__}: {e}"[:200]}
-    return headline, {**slope_extra, **lcm_extra}
+    run_once(0, steps=2 * STEPS)  # warmup / compile the 40-step program
+    t40 = _median([run_once(i + 1, steps=2 * STEPS) for i in range(2)])
+    t20 = _median([run_once(i + 10) for i in range(2)])
+    slope = (t40 - t20) / STEPS
+    return {
+        "pipeline_marginal_iter_s": round(1.0 / slope, 3),
+        "pipeline_fixed_overhead_ms": round((t20 - STEPS * slope) * 1e3, 1),
+    }
+
+
+def bench_lcm(run_once) -> dict:
+    """Few-step serving: LCM 4-step generation through the same pipeline
+    (the production pairing is apply_lora on an LCM-LoRA; speed is
+    weight-value independent)."""
+    def run(i):
+        return run_once(i, steps=4, scheduler="LCM", guidance=1.0)
+
+    run(0)  # warmup / compile
+    return {"lcm_4step_e2e_s": round(_median([run(i + 1) for i in range(3)]),
+                                     4)}
+
+
+def bench_lcm_batched(run_once) -> dict:
+    """The advertised production serving config: LCM 4-step with dynamic
+    batching — 8 coalesced single-image requests as ONE merged
+    generate_images call (exactly what GenerationServer._run_batch builds).
+    Reports sustained images/s under load."""
+    def run(i):
+        return run_once(8 * i, steps=4, scheduler="LCM", guidance=1.0,
+                        batch=8)
+
+    run(0)  # warmup / compile
+    e2e = _median([run(i + 1) for i in range(3)])
+    return {"lcm_4step_batch8_e2e_s": round(e2e, 4),
+            "lcm_4step_batch8_images_per_s": round(8.0 / e2e, 2)}
 
 
 def bench_palettized6(parts) -> dict:
@@ -292,91 +322,152 @@ def bench_palettized6(parts) -> dict:
     }
 
 
-def bench_batch4(parts, single_iter_s: float) -> dict:
-    """Dynamic-batching serving throughput: 4 coalesced single-image
-    requests (CFG batch 8) through one scan — the program
-    GenerationServer.submit runs for 4 concurrent users (serving.py)."""
+def bench_batch(parts, single_iter_s: float, n: int) -> dict:
+    """Dynamic-batching serving throughput: ``n`` coalesced single-image
+    requests (CFG batch 2n) through one scan — the program
+    GenerationServer.submit runs for n concurrent users (serving.py)."""
     cfg, params, make_scan, _, _ = parts
     denoise = sdtpu_jit(make_scan(lambda p: p))
     h = w = 64
-    ctx8 = jax.random.normal(jax.random.key(3),
-                             (8, 77, cfg.cross_attention_dim), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(3),
+                            (2 * n, 77, cfg.cross_attention_dim),
+                            jnp.float32)
 
-    def fresh4(i):
-        return jax.random.normal(jax.random.key(200 + i), (4, h, w, 4),
-                                 jnp.float32)
+    def fresh(i):
+        return jax.random.normal(jax.random.key(200 + 16 * n + i),
+                                 (n, h, w, 4), jnp.float32)
 
-    best = _time_best(lambda lat: denoise(params, lat, ctx8), fresh4)
+    best = _time_best(lambda lat: denoise(params, lat, ctx), fresh)
     return {
-        "serve_batch4_e2e_s": round(best, 3),
-        # throughput multiple vs 4 serial single-image runs
-        "serve_batch4_speedup": round((4 * STEPS / single_iter_s) / best, 2),
+        f"serve_batch{n}_e2e_s": round(best, 3),
+        # throughput multiple vs n serial single-image runs
+        f"serve_batch{n}_speedup": round((n * STEPS / single_iter_s) / best,
+                                         2),
     }
+
+
+def bench_tunnel_sanity(parts) -> dict:
+    """Self-check of the axon-tunnel measurement caveats (CLAUDE.md): the
+    tunnel may REPLAY results for identical (executable, args) requests,
+    which would fabricate fast timings.  Times the raw scan on DISTINCT
+    inputs vs twice on the SAME input; a same-input run far below the
+    distinct-input time means replay is happening and every number in this
+    report is suspect."""
+    _, params, make_scan, context, fresh = parts
+    denoise = sdtpu_jit(make_scan(lambda p: p))
+
+    def once(lat):
+        lat.block_until_ready()
+        t = time.perf_counter()
+        denoise(params, lat, context).block_until_ready()
+        return time.perf_counter() - t
+
+    once(fresh(90))  # warmup
+    distinct = _median([once(fresh(91 + i)) for i in range(3)])
+    same_lat = fresh(95)
+    once(same_lat)  # first occurrence (real execution)
+    repeat = _median([once(same_lat) for _ in range(2)])
+    return {
+        "sanity_distinct_input_s": round(distinct, 4),
+        "sanity_repeat_input_s": round(repeat, 4),
+        "sanity_replay_suspected": bool(repeat < 0.5 * distinct),
+    }
+
+
+def bench_w8a8_extra() -> dict:
+    import bench_w8a8
+
+    # dense-only measured FASTER than dense+conv (55.4 vs 53.7 iter/s, r2):
+    # int8 convs cost more in activation quant + rescale than their halved
+    # weight traffic saves on this chip
+    return {"w8a8_dense_iter_s": round(bench_w8a8.run(include_convs=False),
+                                       3)}
+
+
+def bench_sdxl_extra() -> dict:
+    import bench_sdxl
+
+    best = bench_sdxl.run()
+    return {"sdxl_1024_e2e_s": round(best, 3),
+            "sdxl_vs_baseline": round(bench_sdxl.BASELINE_E2E_S / best, 2)}
+
+
+def bench_sd3_extra() -> dict:
+    import bench_sd3
+
+    out = {"sd3_1024_e2e_s": round(bench_sd3.run(), 3)}
+    # full-capability SD3 path: + the T5-XXL encode (runs once per
+    # generation outside the denoise loop, timed as its own program)
+    t5_s = bench_sd3.run_t5_encode()
+    out["sd3_t5_xxl_encode_s"] = round(t5_s, 3)
+    out["sd3_1024_e2e_with_t5_s"] = round(out["sd3_1024_e2e_s"] + t5_s, 3)
+    return out
 
 
 def main():
     parts = _sd21_parts()
-    raw_iter_s = bench_sd21(parts)
+    extra = {}
+
+    headline = None
+    run_once = None
     try:
-        # headline through the REAL pipeline layer (program cache,
-        # generate_images); raw scan stays as a secondary number
-        iters_per_s, slope_extra = bench_pipeline(parts)
-        raw_extra = {"raw_scan_iter_s": round(raw_iter_s, 3), **slope_extra}
+        _, run_once = build_pipeline_rig(parts)
+        headline = bench_pipeline_headline(run_once)
     except Exception as e:
-        iters_per_s = raw_iter_s
-        raw_extra = {"pipeline_error": f"{type(e).__name__}: {e}"[:200]}
+        extra["pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+        run_once = None  # pipeline rig is suspect: drop dependent extras
+    if headline is None:
+        # never exit without a number: fall back to the raw scan
+        headline = bench_sd21(parts)
+        extra["headline_mode"] = "raw_scan_fallback"
 
-    extra = dict(raw_extra)
-    if os.environ.get("SDTPU_BENCH_EXTRAS", "1") != "0":
-        try:
-            extra.update(bench_batch4(parts, iters_per_s))
-        except Exception as e:
-            extra["batch4_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            extra.update(bench_palettized6(parts))
-        except Exception as e:  # never lose the headline metric
-            extra["palettized6_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            import bench_w8a8
-
-            # dense-only measured FASTER than dense+conv (55.4 vs 53.7
-            # iter/s, r2): int8 convs cost more in activation quant + rescale
-            # than their halved weight traffic saves on this chip
-            extra["w8a8_dense_iter_s"] = round(
-                bench_w8a8.run(include_convs=False), 3)
-        except Exception as e:
-            extra["w8a8_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            import bench_sdxl
-
-            best = bench_sdxl.run()
-            extra["sdxl_1024_e2e_s"] = round(best, 3)
-            extra["sdxl_vs_baseline"] = round(bench_sdxl.BASELINE_E2E_S / best,
-                                              2)
-        except Exception as e:
-            extra["sdxl_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            import bench_sd3
-
-            extra["sd3_1024_e2e_s"] = round(bench_sd3.run(), 3)
-            # full-capability SD3 path: + the T5-XXL encode (runs once per
-            # generation outside the denoise loop, timed as its own program)
-            t5_s = bench_sd3.run_t5_encode()
-            extra["sd3_t5_xxl_encode_s"] = round(t5_s, 3)
-            extra["sd3_1024_e2e_with_t5_s"] = round(
-                extra["sd3_1024_e2e_s"] + t5_s, 3)
-        except Exception as e:
-            extra["sd3_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    print(json.dumps({
+    payload = {
         "metric": "SD-2.1-base 512x512 pipeline diffusion speed "
                   "(generate_images, CFG batch 2, 20 steps, DPM++ 2M, "
                   "median of 3)",
-        "value": round(iters_per_s, 3),
+        "value": round(headline, 3),
         "unit": "iter/s",
-        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
-        "extra": extra,
-    }))
+        "vs_baseline": round(headline / BASELINE_ITERS_PER_S, 2),
+    }
+    # EARLY, FLUSHED: the headline must survive a driver timeout (round 3
+    # computed a headline and lost it behind 26 min of extras)
+    print(json.dumps(payload), flush=True)
+
+    extras = []
+    if os.environ.get("SDTPU_BENCH_EXTRAS", "1") != "0":
+        extras = [
+            ("raw_scan", lambda: {"raw_scan_iter_s":
+                                  round(bench_sd21(parts), 3)}),
+            ("batch4", lambda: bench_batch(parts, headline, 4)),
+            ("batch8", lambda: bench_batch(parts, headline, 8)),
+            ("lcm", lambda: bench_lcm(run_once)),
+            ("lcm_batch8", lambda: bench_lcm_batched(run_once)),
+            ("pipeline_slope", lambda: bench_pipeline_slope(run_once)),
+            ("palettized6", lambda: bench_palettized6(parts)),
+            ("tunnel_sanity", lambda: bench_tunnel_sanity(parts)),
+            ("w8a8", bench_w8a8_extra),
+            ("sdxl", bench_sdxl_extra),
+            ("sd3", bench_sd3_extra),
+        ]
+        if run_once is None:
+            extras = [(n, f) for n, f in extras
+                      if n not in ("lcm", "lcm_batch8", "pipeline_slope")]
+
+    skipped = []
+    for name, fn in extras:
+        if _elapsed() > BUDGET_S:
+            skipped.append(name)
+            continue
+        try:
+            extra.update(fn())
+        except Exception as e:  # never lose the headline metric
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    if skipped:
+        extra["skipped_extras"] = skipped
+        extra["budget_s"] = BUDGET_S
+
+    payload["extra"] = extra
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -13,17 +13,14 @@ gate (90 s, test_stable_diffusion.py:33-37) is the baseline stand-in.
 """
 
 import json
-import os
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
 
 import jax
 
-# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
-# JAX_PLATFORMS) — the persistent cache only engages via jax.config
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit

@@ -7,17 +7,14 @@ SDXL dimensions with random bf16 weights (speed is weight-value independent).
 """
 
 import json
-import os
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/sdtpu_jax_cache")
 
 import jax
 
-# the axon sitecustomize swallows JAX_COMPILATION_CACHE_DIR (like
-# JAX_PLATFORMS) — the persistent cache only engages via jax.config
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax.numpy as jnp
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
@@ -87,7 +84,11 @@ def run() -> float:
 
         (lat, _), _ = jax.lax.scan(step, (latents, state),
                                    jnp.arange(plan.num_steps))
-        return vae.apply({"params": vparams}, lat / 0.13025)
+        img = vae.apply({"params": vparams}, lat / 0.13025)
+        # fused [-1,1]->uint8 postprocess (pipelines decode_latents does the
+        # same): ready-to-save pixels, 4x smaller device->host transfer
+        img = jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+        return jnp.round(img * 255.0).astype(jnp.uint8)
 
     ids = jnp.zeros((2, 77), jnp.int32)
 

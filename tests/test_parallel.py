@@ -248,3 +248,31 @@ def test_train_step_runs_and_reduces_loss():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # optimizing the same batch must descend
     assert int(state.step) == 3
+
+
+@pytest.mark.slow
+def test_sharded_sdxl_pipeline_generate_matches_single_device(tmp_path):
+    """SDXL family under GSPMD: dual encoders, text_time micro-conditioning,
+    refiner handoff — pipe.shard(mesh) must reproduce single-device latents
+    (the MMDiT/T5/XL sharding rules also execute in dryrun_multichip)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+    from ml_stable_diffusion_tpu.pipelines.sdxl import (
+        StableDiffusionXLPipeline,
+    )
+
+    (dec, dec_params), _ = tiny_vae()
+    pipe = StableDiffusionXLPipeline(
+        tokenizer=tiny_tokenizer(tmp_path), tokenizer2=tiny_tokenizer(tmp_path),
+        text_encoder=tiny_text_encoder(),
+        text_encoder2=tiny_text_encoder(use_projection=True),
+        unet=tiny_unet(cross_dim=96, xl=True),
+        vae_decoder=(dec, dec_params))
+    gen = PipelineConfiguration(prompt="a cat", step_count=2, seed=3,
+                                disable_safety=True, scheduler="DDIM")
+    ref = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    pipe.shard(make_mesh(4, dp=1))
+    out = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
