@@ -90,6 +90,7 @@ def unet_config_from_diffusers(cfg: dict) -> UNetConfig:
         addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
         projection_class_embeddings_input_dim=cfg.get(
             "projection_class_embeddings_input_dim", 2816),
+        time_cond_proj_dim=cfg.get("time_cond_proj_dim"),
     )
 
 

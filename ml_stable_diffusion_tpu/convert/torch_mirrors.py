@@ -147,11 +147,17 @@ def _spatial_transformer_fwd(sd, p, x, ctx, heads, depth, groups):
     return h + residual
 
 
-def _unet_embed(sd, cfg: UNetConfig, sample, timesteps, added_cond):
+def _unet_embed(sd, cfg: UNetConfig, sample, timesteps, added_cond,
+                timestep_cond=None):
     if timesteps.ndim == 0:
         timesteps = timesteps.expand(sample.shape[0])
     t_emb = _sinusoidal(timesteps, cfg.block_out_channels[0],
                         cfg.flip_sin_to_cos, cfg.freq_shift)
+    if timestep_cond is not None:
+        # LCM guidance conditioning: bias-free projection added to the
+        # sinusoid BEFORE the MLP (diffusers TimestepEmbedding.cond_proj)
+        t_emb = t_emb + timestep_cond.float() @ _w(
+            sd, "time_embedding.cond_proj.weight").t()
     emb = _time_mlp(sd, "time_embedding", t_emb)
     if cfg.addition_embed_type == "text_time":
         time_ids = added_cond["time_ids"].reshape(-1)
@@ -198,14 +204,16 @@ def _unet_mid(sd, cfg: UNetConfig, h, emb, ctx):
 
 @torch.no_grad()
 def torch_unet_forward(sd, cfg: UNetConfig, sample, timesteps, ctx,
-                       added_cond=None):
+                       added_cond=None, timestep_cond=None):
     """diffusers UNet2DConditionModel.forward on a raw state dict.
 
     sample (B, C, H, W), timesteps (B,) float, ctx (B, S, C_ctx);
-    added_cond {"text_embeds", "time_ids"} for SDXL.  Returns (B, C, H, W).
+    added_cond {"text_embeds", "time_ids"} for SDXL; timestep_cond
+    (B, time_cond_proj_dim) for LCM guidance-embedded checkpoints.
+    Returns (B, C, H, W).
     """
     groups, eps = cfg.norm_num_groups, cfg.norm_eps
-    emb = _unet_embed(sd, cfg, sample, timesteps, added_cond)
+    emb = _unet_embed(sd, cfg, sample, timesteps, added_cond, timestep_cond)
     h = _conv(sd, "conv_in", sample.float())
     h, residuals = _unet_down(sd, cfg, h, emb, ctx.float())
     h = _unet_mid(sd, cfg, h, emb, ctx.float())

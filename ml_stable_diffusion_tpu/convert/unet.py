@@ -107,6 +107,10 @@ def port_unet(state_dict, config: UNetConfig) -> dict:
         "conv_norm_out": _norm(sd, "conv_norm_out"),
         "conv_out": _conv(sd, "conv_out"),
     }
+    if "time_embedding.cond_proj.weight" in sd:
+        # fully-distilled LCM guidance embedding (time_cond_proj_dim)
+        p["time_embedding"]["cond_proj"] = _dense(sd,
+                                                  "time_embedding.cond_proj")
     if config.addition_embed_type == "text_time":
         p["add_embedding"] = {
             "linear_1": _dense(sd, "add_embedding.linear_1"),

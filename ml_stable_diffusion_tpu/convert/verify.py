@@ -107,14 +107,19 @@ def torch_parity_unet(state_dict, model, params, label="unet",
              else _xl_added_cond(cfg, rng, B, text_embed_dim))
     import jax.numpy as jnp
 
+    tc = (None if not getattr(cfg, "time_cond_proj_dim", None)
+          else _rand(rng, B, cfg.time_cond_proj_dim))  # LCM guidance input
     out = model.apply({"params": params}, sample, jnp.asarray(t), ctx,
-                      added_cond=added)
+                      added_cond=added, timestep_cond=tc)
     t_added = None if added is None else {
         k: torch.from_numpy(np.asarray(v, np.float32)) for k, v in added.items()}
     ref = torch_unet_forward(state_dict, cfg, _nchw(sample),
                              torch.from_numpy(t),
                              torch.from_numpy(np.asarray(ctx, np.float32)),
-                             added_cond=t_added)
+                             added_cond=t_added,
+                             timestep_cond=(None if tc is None else
+                                            torch.from_numpy(
+                                                np.asarray(tc, np.float32))))
     return report_correctness(np.asarray(out, np.float32).transpose(0, 3, 1, 2),
                               ref.numpy(), f"convert:{label}")
 

@@ -57,6 +57,12 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     #: SDXL: 2816 = 1280 pooled + 6*256 time ids; refiner: 2560 (5 ids)
     projection_class_embeddings_input_dim: int = 2816
+    #: guidance (w) conditioning input dim for fully-distilled LCM
+    #: checkpoints (diffusers ``time_cond_proj_dim``, e.g. 256 for
+    #: LCM_Dreamshaper_v7): the guidance scale is EMBEDDED as an extra
+    #: timestep-MLP input instead of applied via CFG.  Same MLP pattern as
+    #: the reference's TimestepEmbedding (unet.py:630).
+    time_cond_proj_dim: int | None = None
     #: serve-time optimization: single fused qkv matmul for self-attention
     #: (params via convert/optimize.fuse_qkv_params)
     fuse_qkv: bool = False
@@ -136,14 +142,37 @@ def get_timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
     return out
 
 
+def get_guidance_scale_embedding(w, dim: int):
+    """LCM guidance (w) embedding — diffusers
+    ``get_guidance_scale_embedding`` semantics: sinusoid of ``w * 1000``
+    with denominator ``half - 1`` and [sin, cos] order (NOT the timestep
+    embedding's flipped order / ``freq_shift``).  fp32 throughout."""
+    w = jnp.asarray(w, jnp.float32) * 1000.0
+    half = dim // 2
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32)
+                  * (-jnp.log(10000.0) / (half - 1)))
+    emb = w[:, None] * emb[None, :]
+    out = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
 class TimestepEmbedding(nn.Module):
-    """two-layer MLP over the sinusoidal embedding (unet.py:630-662)."""
+    """two-layer MLP over the sinusoidal embedding (unet.py:630-662).
+
+    ``cond``: optional conditioning vector added to the sinusoid BEFORE the
+    MLP through a bias-free projection (diffusers ``cond_proj`` — the LCM
+    guidance-embedding input)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cond=None):
+        if cond is not None:
+            x = x + nn.Dense(x.shape[-1], use_bias=False, dtype=self.dtype,
+                             name="cond_proj")(cond.astype(self.dtype))
         x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
         x = nn.silu(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
@@ -404,16 +433,25 @@ class UNet2DConditionModel(nn.Module):
                  down_block_residuals: Sequence[jnp.ndarray] | None = None,
                  mid_block_residual: jnp.ndarray | None = None,
                  ip_context: jnp.ndarray | None = None,
-                 ip_scale: float = 1.0):
+                 ip_scale: float = 1.0,
+                 timestep_cond: jnp.ndarray | None = None):
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+        if cfg.time_cond_proj_dim is not None and timestep_cond is None:
+            raise ValueError(
+                "this UNet is guidance-embedded (time_cond_proj_dim="
+                f"{cfg.time_cond_proj_dim}); pass timestep_cond "
+                "(get_guidance_scale_embedding(w, dim))")
 
         # --- time + added embeddings (fp32) ---
         t_emb = get_timestep_embedding(timesteps, cfg.block_out_channels[0],
                                        cfg.flip_sin_to_cos, cfg.freq_shift)
         emb = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype,
-                                name="time_embedding")(t_emb.astype(self.dtype))
+                                name="time_embedding")(
+            t_emb.astype(self.dtype),
+            cond=(timestep_cond if cfg.time_cond_proj_dim is not None
+                  else None))
         if cfg.addition_embed_type == "text_time":
             assert added_cond is not None, "SDXL requires added_cond"
             time_ids = added_cond["time_ids"].reshape(-1)

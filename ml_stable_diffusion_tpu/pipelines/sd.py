@@ -682,10 +682,13 @@ class StableDiffusionPipeline:
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
 
     def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
-                   mid_res, ip_context=None, ip_scale=1.0):
+                   mid_res, ip_context=None, ip_scale=1.0,
+                   timestep_cond=None):
         kw = {}
         if ip_context is not None:
             kw = {"ip_context": ip_context, "ip_scale": ip_scale}
+        if timestep_cond is not None:
+            kw["timestep_cond"] = timestep_cond
         return self.unet.apply(
             {"params": bundle["unet"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
@@ -794,6 +797,17 @@ class StableDiffusionPipeline:
 
         ip_scale = float(cfg.ip_adapter_scale)
 
+        # fully-distilled LCM checkpoints embed the guidance scale as a
+        # conditioning input instead of CFG (diffusers LCM pipeline feeds
+        # w = guidance_scale - 1); a (N, dim) fp32 constant in the program
+        tcp = getattr(self.unet.config, "time_cond_proj_dim", None)
+        w_emb = None
+        if tcp:
+            from ..models.unet import get_guidance_scale_embedding
+
+            w_emb = get_guidance_scale_embedding(
+                jnp.full((N,), g - 1.0, jnp.float32), tcp)
+
         def encode_stage(bundle, token_ids, init_image, key, init_noise,
                          mask_px, ip_image):
             text = self._encode_text(cfg, token_ids, bundle)
@@ -890,6 +904,11 @@ class StableDiffusionPipeline:
                           added_pos, ctrl_images, extras9=None,
                           ip_pair=None):
             ip_neg, ip_pos = ip_pair if ip_pair is not None else (None, None)
+            # guidance embedding rides only the base UNet (the refiner has
+            # no cond_proj weights); batch is N since CFG is off
+            tc_kw = ({"timestep_cond": w_emb}
+                     if w_emb is not None and call_unet == self._call_unet
+                     else {})
 
             def ip_kw(tokens):
                 if tokens is None:
@@ -921,15 +940,16 @@ class StableDiffusionPipeline:
                         axis=-1)
                 if not guidance_on:
                     return call_unet(bundle, latents_in, t, ctx_pos, added_pos,
-                                     down_res, mid_res, **ip_kw(ip_pos))
+                                     down_res, mid_res, **ip_kw(ip_pos),
+                                     **tc_kw)
                 if batch_one:
                     # serial CFG parity mode (pipeline.py:540-557)
                     out_neg = call_unet(bundle, latents_in, t, ctx_neg,
                                         added_neg, down_res, mid_res,
-                                        **ip_kw(ip_neg))
+                                        **ip_kw(ip_neg), **tc_kw)
                     out_pos = call_unet(bundle, latents_in, t, ctx_pos,
                                         added_pos, down_res, mid_res,
-                                        **ip_kw(ip_pos))
+                                        **ip_kw(ip_pos), **tc_kw)
                 else:
                     lat2 = jnp.concatenate([latents_in, latents_in], axis=0)
                     ctx2 = jnp.concatenate([ctx_neg, ctx_pos], axis=0)
@@ -1155,7 +1175,11 @@ class StableDiffusionPipeline:
                 "starting_image + mask_image")
         strength = cfg.strength if img2img else 1.0
         plan = scheduler.set_timesteps(cfg.step_count, strength=strength)
-        guidance_on = cfg.guidance_scale > 1.0
+        # guidance-embedded (LCM-distilled) UNets never run CFG: the scale
+        # is a conditioning input (diffusers LCM pipeline semantics)
+        guidance_on = (cfg.guidance_scale > 1.0
+                       and not getattr(self.unet.config,
+                                       "time_cond_proj_dim", None))
         n_ctrl = len(cfg.controlnet_inputs)
         if n_ctrl and n_ctrl != len(self.controlnets):
             raise ValueError("controlnet_inputs count must match loaded controlnets")

@@ -38,7 +38,7 @@ def tiny_text_encoder(eos_id=VOCAB - 1, use_projection=False):
     return model, params
 
 
-def tiny_unet(cross_dim=CTX_DIM, xl=False):
+def tiny_unet(cross_dim=CTX_DIM, xl=False, time_cond_proj_dim=None):
     if xl:
         cfg = UNetConfig(
             block_out_channels=(16, 32),
@@ -64,11 +64,17 @@ def tiny_unet(cross_dim=CTX_DIM, xl=False):
             cross_attention_dim=cross_dim,
             norm_num_groups=8,
         )
+    if time_cond_proj_dim:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, time_cond_proj_dim=time_cond_proj_dim)
     model = UNet2DConditionModel(cfg)
     kwargs = {}
     if xl:
         kwargs["added_cond"] = {"text_embeds": jnp.zeros((1, 32)),
                                 "time_ids": jnp.zeros((1, 6))}
+    if time_cond_proj_dim:
+        kwargs["timestep_cond"] = jnp.zeros((1, time_cond_proj_dim))
     params = jax.jit(lambda k, *a: model.init(k, *a, **kwargs))(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
                         jnp.zeros((1,)), jnp.zeros((1, 77, cross_dim)))["params"]
     return model, params

@@ -167,3 +167,33 @@ def test_non_square_size(pipe):
     res = pipe.generate_images(_cfg(seed=11), image_hw=(64, 96))
     assert res.images[0].size == (96, 64)  # PIL (W, H)
     assert np.isfinite(res.latents).all()
+
+
+def test_lcm_guidance_embedded_checkpoint(tmp_path):
+    """Fully-distilled LCM checkpoint (time_cond_proj_dim): the guidance
+    scale is a conditioning INPUT (diffusers LCM pipeline feeds
+    w = guidance_scale - 1) and CFG never runs — the negative prompt is
+    ignored even at guidance > 1, while the scale still changes the
+    output through the embedding."""
+    tok = tiny_tokenizer(tmp_path)
+    dec, enc = tiny_vae()
+    lcm_pipe = StableDiffusionPipeline(
+        tokenizer=tok,
+        text_encoder=tiny_text_encoder(),
+        unet=tiny_unet(time_cond_proj_dim=16),
+        vae_decoder=dec,
+        vae_encoder=enc,
+    )
+    base = _cfg(seed=7, scheduler="LCM", step_count=4, guidance_scale=8.0)
+    a = lcm_pipe.generate_images(base, image_hw=HW)
+    assert np.isfinite(a.latents).all()
+    # no CFG: negative prompt must be ignored despite guidance 8
+    b = lcm_pipe.generate_images(
+        _cfg(seed=7, scheduler="LCM", step_count=4, guidance_scale=8.0,
+             negative_prompt="dog"), image_hw=HW)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    # ...but the embedded w still conditions the model
+    c = lcm_pipe.generate_images(
+        _cfg(seed=7, scheduler="LCM", step_count=4, guidance_scale=2.0),
+        image_hw=HW)
+    assert np.abs(a.latents - c.latents).max() > 1e-6

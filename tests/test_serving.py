@@ -160,3 +160,31 @@ def test_submit_nonblocking_for_nonbatchable(tmp_path):
     assert res.latents.shape == (1, 2)
     assert server.stats()["requests_served"] == 1
     server.shutdown()
+
+
+def test_lcm_dynamic_batching_production_config(tmp_path):
+    """The advertised production pairing — LCM few-step serving under
+    dynamic batching: an LCM ServeConfig precompiles, concurrent LCM
+    requests coalesce into ONE batched program, and each future matches
+    its direct generation (LCM's per-step re-noising must respect
+    per-image seed streams through the merge)."""
+    pipe = _tiny_pipe(tmp_path)
+    server = GenerationServer(pipe, [
+        ServeConfig(image_hw=(64, 64), step_count=4, scheduler="LCM",
+                    guidance_scale=1.0)], max_batch=4, batch_window_s=1.0)
+    server.precompile(batch_sizes=(1, 3))
+
+    def cfg(prompt, seed):
+        return PipelineConfiguration(prompt=prompt, seed=seed, step_count=4,
+                                     scheduler="LCM", guidance_scale=1.0,
+                                     disable_safety=True)
+
+    futs = [server.submit(cfg(p, s), image_hw=(64, 64))
+            for p, s in [("a cat", 11), ("a dog", 12), ("a fish", 13)]]
+    results = [f.result(timeout=600) for f in futs]
+    assert server.batches_run == 1
+    assert server.requests_served == 3
+
+    direct = pipe.generate_images(cfg("a dog", 12), image_hw=(64, 64))
+    np.testing.assert_allclose(results[1].latents, direct.latents, atol=2e-4)
+    server.shutdown()

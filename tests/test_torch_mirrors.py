@@ -67,6 +67,9 @@ TINY_XL = dataclasses.replace(
     addition_time_embed_dim=16,
 )
 
+#: fully-distilled LCM shape: guidance embedded via time_cond_proj
+TINY_LCM = dataclasses.replace(TINY_SD, time_cond_proj_dim=16)
+
 
 def _unet_fixture(cfg, seed=7):
     model = UNet2DConditionModel(cfg)
@@ -74,6 +77,8 @@ def _unet_fixture(cfg, seed=7):
     if cfg.addition_embed_type == "text_time":
         kwargs["added_cond"] = {"text_embeds": jnp.zeros((1, 32)),
                                 "time_ids": jnp.zeros((1, 6))}
+    if cfg.time_cond_proj_dim:
+        kwargs["timestep_cond"] = jnp.zeros((1, cfg.time_cond_proj_dim))
     params = jax.jit(lambda k, *a: model.init(k, *a, **kwargs))(
         jax.random.key(0), jnp.zeros((1, 16, 16, cfg.in_channels)),
         jnp.zeros((1,)), jnp.zeros((1, 77, cfg.cross_attention_dim)))["params"]
@@ -82,7 +87,8 @@ def _unet_fixture(cfg, seed=7):
     return model, params, sd
 
 
-@pytest.mark.parametrize("cfg", [TINY_SD, TINY_XL], ids=["sd", "xl"])
+@pytest.mark.parametrize("cfg", [TINY_SD, TINY_XL, TINY_LCM],
+                         ids=["sd", "xl", "lcm"])
 def test_unet_full_model_gate(cfg):
     model, params, sd = _unet_fixture(cfg)
     # the port must reproduce the tree bit-exactly (inverse-mapping sanity)

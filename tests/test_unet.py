@@ -396,3 +396,79 @@ def test_fast_gelu_serving_option():
     out_fast = fast.apply({"params": params}, x, t, c)
     d = float(np.abs(np.asarray(out - out_fast)).max())
     assert 0.0 < d < 0.5
+
+
+# ---------------------------------------------------------------- LCM ----
+
+
+def test_guidance_scale_embedding_matches_diffusers():
+    """get_guidance_scale_embedding must reproduce the diffusers LCM
+    formula exactly: sinusoid of w*1000, denominator half-1, [sin, cos]
+    order (NOT the timestep embedding's flipped order)."""
+    from ml_stable_diffusion_tpu.models.unet import (
+        get_guidance_scale_embedding,
+    )
+
+    w = np.asarray([0.0, 4.0, 7.5], np.float32)
+    dim = 32
+    tw = torch.tensor(w) * 1000.0
+    half = dim // 2
+    emb = torch.log(torch.tensor(10000.0)) / (half - 1)
+    emb = torch.exp(torch.arange(half, dtype=torch.float32) * -emb)
+    emb = tw[:, None] * emb[None, :]
+    ref = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1).numpy()
+    out = np.asarray(get_guidance_scale_embedding(jnp.asarray(w), dim))
+    # XLA and libm reduce sin/cos of large args (w*1000 ~ 7.5e3) with
+    # different range-reduction precision; 2e-3 bounds that ulp effect
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+    # distinct from the timestep embedding with the same inputs
+    assert np.abs(out - np.asarray(
+        get_timestep_embedding(jnp.asarray(w * 1000.0), dim))).max() > 0.1
+
+
+def test_lcm_time_cond_proj_forward_and_port():
+    """Guidance-embedded (time_cond_proj_dim) UNet: the cond_proj param is
+    created, the forward is sensitive to the w embedding, a synthetic
+    diffusers checkpoint ports bit-exactly, and the plain config's tree is
+    unchanged (cache/HLO stability)."""
+    from ml_stable_diffusion_tpu.models.unet import (
+        get_guidance_scale_embedding,
+    )
+
+    tcp = 16
+    cfg = dataclasses.replace(TINY_SD, time_cond_proj_dim=tcp)
+    model = UNet2DConditionModel(cfg)
+    sample, t, ctx, _ = _tiny_inputs(cfg)
+    w4 = get_guidance_scale_embedding(jnp.full((2,), 4.0), tcp)
+    w8 = get_guidance_scale_embedding(jnp.full((2,), 8.0), tcp)
+    params = jax.jit(
+        lambda k: model.init(k, sample, t, ctx, timestep_cond=w4))(
+            jax.random.key(0))["params"]
+    assert "cond_proj" in params["time_embedding"]
+    assert "bias" not in params["time_embedding"]["cond_proj"]
+    out4 = model.apply({"params": params}, sample, t, ctx, timestep_cond=w4)
+    out8 = model.apply({"params": params}, sample, t, ctx, timestep_cond=w8)
+    assert np.abs(np.asarray(out4 - out8)).max() > 1e-6
+
+    # missing timestep_cond on a guidance-embedded config must raise
+    with pytest.raises(ValueError, match="time_cond_proj_dim"):
+        model.apply({"params": params}, sample, t, ctx)
+
+    # the plain config's param tree has no cond_proj (HLO stability of
+    # every existing checkpoint/program)
+    plain = UNet2DConditionModel(TINY_SD)
+    plain_params = jax.jit(plain.init)(jax.random.key(0), sample, t,
+                                       ctx)["params"]
+    assert "cond_proj" not in plain_params["time_embedding"]
+
+    # port: synthetic diffusers layout -> bit-exact tree
+    from helpers import flax_params_to_diffusers_sd
+
+    sd = flax_params_to_diffusers_sd(params, "unet")
+    assert "time_embedding.cond_proj.weight" in sd
+    ported = port_unet(sd, cfg)
+    for (pa, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(ported)):
+        np.testing.assert_array_equal(np.asarray(va), vb,
+                                      err_msg=jax.tree_util.keystr(pa))
