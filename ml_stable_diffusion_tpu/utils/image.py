@@ -43,6 +43,13 @@ def tensor_to_pil(x: np.ndarray) -> list:
     return [Image.fromarray(im) for im in u8]
 
 
+def uint8_to_pil(x: np.ndarray) -> list:
+    """NHWC uint8 batch -> list of PIL RGB images (the fused-postprocess
+    decode path emits device-side uint8; see pipelines decode_latents)."""
+    _require_pil()
+    return [Image.fromarray(im) for im in np.asarray(x, np.uint8)]
+
+
 def pil_to_tensor(images, size: tuple[int, int] | None = None,
                   value_range: tuple[float, float] = (-1.0, 1.0),
                   mask_alpha: bool = True) -> np.ndarray:
