@@ -50,6 +50,9 @@ def parser_spec():
     rep.add_argument("-i", "--analysis-json", required=True)
     rep.add_argument("--checkpoint", required=True)
     rep.add_argument("-o", "--output-md", required=True)
+    rep.add_argument("--output-json", default=None,
+                     help="also emit the (avg_bits, size_MB, est_psnr) "
+                          "series as JSON (the reference plot's raw data)")
     rep.add_argument("--psnr-thresholds", type=float, nargs="*",
                      default=[35.0, 40.0, 45.0])
 
@@ -129,7 +132,7 @@ def run(args):
         logger.info("recipe written to %s", args.output_json)
 
     elif args.cmd == "mbp-report":
-        from ..compress.mixed_bit import mbp_report
+        from ..compress.mixed_bit import mbp_report, mbp_report_rows
 
         analysis = json.loads(Path(args.analysis_json).read_text())
         _, params = _load_unet(args.checkpoint)
@@ -139,6 +142,11 @@ def run(args):
                         baselines=analysis.get("baselines"))
         Path(args.output_md).write_text(md)
         logger.info("report written to %s", args.output_md)
+        if args.output_json:
+            rows = mbp_report_rows(analysis["single_layer"], recipes, params,
+                                   baselines=analysis.get("baselines"))
+            Path(args.output_json).write_text(json.dumps(rows, indent=1))
+            logger.info("tradeoff series written to %s", args.output_json)
 
     elif args.cmd == "mbp-apply":
         model, params = _load_unet(args.checkpoint)

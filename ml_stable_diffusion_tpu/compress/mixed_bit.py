@@ -154,15 +154,41 @@ def recipe_estimated_psnr(recipe: dict, single_layer: dict) -> float:
     return worst if worst != float("inf") else 999.0
 
 
+def mbp_report_rows(single_layer: dict, recipes: dict, params,
+                    baselines: dict | None = None) -> dict:
+    """Machine-readable size/quality tradeoff data — the (size, PSNR)
+    series behind the reference's matplotlib plot
+    (pre_analysis.py:376-434), as JSON-ready rows so the curve can be
+    reproduced downstream."""
+    total = sum(int(np.prod(np.asarray(_get(params, tuple(k.split("/")))
+                                       ).shape)) for k in single_layer)
+    rows = []
+    for name, recipe in sorted(recipes.items()):
+        bits = recipe_average_bits(recipe, params)
+        rows.append({
+            "recipe": name,
+            "avg_bits": round(bits, 3),
+            "size_mb": round(total * bits / 8 / 2**20, 2),
+            "estimated_psnr_db": round(
+                recipe_estimated_psnr(recipe, single_layer), 2),
+        })
+    return {
+        "rows": rows,
+        "baselines": dict(baselines or {}),
+        "analyzed_layers": len(single_layer),
+        "total_weights": total,
+    }
+
+
 def mbp_report(single_layer: dict, recipes: dict, params,
                baselines: dict | None = None) -> str:
     """Human-readable size/quality tradeoff report (markdown).
 
     The reference renders a PSNR-vs-size matplotlib plot
     (pre_analysis.py:501-507); the same decision data lands here as a table
-    (no plotting dependency in the serving image)."""
-    total = sum(int(np.prod(np.asarray(_get(params, tuple(k.split("/")))
-                                       ).shape)) for k in single_layer)
+    (no plotting dependency in the serving image).  For the raw series use
+    ``mbp_report_rows`` (CLI: ``mbp-report --output-json``)."""
+    data = mbp_report_rows(single_layer, recipes, params, baselines)
     lines = ["# Mixed-bit palettization report", ""]
     if baselines:
         lines += ["Baselines: " + ", ".join(
@@ -171,15 +197,14 @@ def mbp_report(single_layer: dict, recipes: dict, params,
         "| recipe | avg bits | est. payload (MB) | worst single-layer PSNR (dB) |",
         "|---|---|---|---|",
     ]
-    for name, recipe in sorted(recipes.items()):
-        bits = recipe_average_bits(recipe, params)
-        mb = total * bits / 8 / 2**20
-        lines.append(f"| {name} | {bits:.2f} | {mb:.1f} | "
-                     f"{recipe_estimated_psnr(recipe, single_layer):.1f} |")
+    for row in data["rows"]:
+        lines.append(f"| {row['recipe']} | {row['avg_bits']:.2f} | "
+                     f"{row['size_mb']:.1f} | "
+                     f"{row['estimated_psnr_db']:.1f} |")
     lines.append("")
-    lines.append(f"(analyzed layers: {len(single_layer)}, "
-                 f"{total / 1e6:.1f}M weights; payload at fp16-equivalent "
-                 "storage for unpalettized layers)")
+    lines.append(f"(analyzed layers: {data['analyzed_layers']}, "
+                 f"{data['total_weights'] / 1e6:.1f}M weights; payload at "
+                 "fp16-equivalent storage for unpalettized layers)")
     return "\n".join(lines)
 
 

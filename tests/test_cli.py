@@ -59,6 +59,27 @@ def test_benchmark_cli(sd_checkpoint, tmp_path):
     assert json.loads(out.read_text())["step_count"] == 2
 
 
+def test_benchmark_cli_clip_score(sd_checkpoint, tmp_path):
+    """Opt-in CLIP quality gate (reference test_image_to_prompt_clip_score,
+    threshold 0.3): scores ride benchmark.json and the gate trips below
+    --min-clip-score.  The synthetic checkpoint's safety checker provides
+    the CLIP vision tower."""
+    out = tmp_path / "benchmark.json"
+    base = ["-i", str(sd_checkpoint), "--step-count", "2", "--size", "64x64",
+            "--scheduler", "DDIM", "--repeats", "1", "-o", str(out),
+            "--clip-score"]
+    args = cli_benchmark.parser_spec().parse_args(
+        base + ["--min-clip-score", "-1.0"])
+    report = cli_benchmark.run(args)
+    assert -1.0 <= report["clip_score"] <= 1.0
+    assert json.loads(out.read_text())["clip_score"] == report["clip_score"]
+
+    args = cli_benchmark.parser_spec().parse_args(
+        base + ["--min-clip-score", "1.1"])
+    with pytest.raises(SystemExit, match="quality gate"):
+        cli_benchmark.run(args)
+
+
 def test_convert_cli(sd_checkpoint, tmp_path):
     args = cli_convert.parser_spec().parse_args([
         "-i", str(sd_checkpoint), "-o", str(tmp_path), "--convert-all",
@@ -118,12 +139,22 @@ def test_compress_cli_mbp_flow(sd_checkpoint, tmp_path):
     assert data["baselines"]["serving_bf16"] > 20.0
 
     report_md = tmp_path / "report.md"
+    report_json = tmp_path / "report.json"
     args = cli_compress.parser_spec().parse_args([
         "mbp-report", "-i", str(analysis), "--checkpoint",
         str(sd_checkpoint), "-o", str(report_md),
+        "--output-json", str(report_json),
     ])
     cli_compress.run(args)
     assert "Mixed-bit palettization report" in report_md.read_text()
+    # machine-readable tradeoff series (the reference plot's raw data,
+    # pre_analysis.py:376-434): one row per recipe with the curve columns
+    series = json.loads(report_json.read_text())
+    assert len(series["rows"]) == 3  # default thresholds 35/40/45 dB
+    for row in series["rows"]:
+        assert {"recipe", "avg_bits", "size_mb",
+                "estimated_psnr_db"} <= set(row)
+    assert series["baselines"]["serving_bf16"] > 20.0
 
     recipe_json = tmp_path / "recipe.json"
     args = cli_compress.parser_spec().parse_args([
