@@ -150,11 +150,77 @@ class VAEEncoder(nn.Module):
         return h.astype(jnp.float32)
 
 
+class ParityUpsampleConv(nn.Module):
+    """2x nearest-neighbor upsample + 3x3 SAME conv, computed WITHOUT
+    materializing the upsampled tensor.
+
+    Algebraic identity: conv3x3(NN2x(x)) decomposes by output-pixel parity
+    (a, b) = (row % 2, col % 2) into four 2x2 convs on the LOW-res input —
+    each output pixel's 3x3 window covers only a 2x2 patch of distinct
+    input pixels (with multiplicity), so the 3x3 kernel W collapses to
+    parity kernels built from tap sums:
+
+      rows, a=0 (window rows 2i-1..2i+1 -> x rows i-1, i, i):
+          [W0, W1+W2] over x rows (i-1, i)
+      rows, a=1 (window rows 2i..2i+2   -> x rows i, i, i+1):
+          [W0+W1, W2] over x rows (i, i+1)
+
+    (same combination along columns).  Cost: 4 * (2*2) = 16 HWCO MACs vs
+    the naive 4HW * 9 * CO = 36 HWCO — 4/9 the FLOPs — and the 2x-res
+    intermediate (up to 512 MB at 1024^2 decode) never exists.  Zero-pad
+    edge behavior matches SAME padding on the upsampled image exactly
+    (boundary taps fall on the same zeros).
+
+    Param structure is identical to ``nn.Conv`` (kernel (3,3,C,O) HWIO +
+    bias), so checkpoints port/load unchanged.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        B, H, W_, C = x.shape
+        O = self.out_channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, O),
+            jnp.float32).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (O,),
+                          jnp.float32).astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        # parity kernels: combine taps along rows then columns
+        rows = {0: jnp.stack([kernel[0], kernel[1] + kernel[2]]),   # (2,3,C,O)
+                1: jnp.stack([kernel[0] + kernel[1], kernel[2]])}
+        pad = {0: (1, 0), 1: (0, 1)}  # offsets (-1,0) vs (0,+1)
+        dn = jax.lax.conv_dimension_numbers(x.shape, (2, 2, C, O),
+                                            ("NHWC", "HWIO", "NHWC"))
+
+        def parity(a, b):
+            k = rows[a]
+            k = (jnp.stack([k[:, 0], k[:, 1] + k[:, 2]], axis=1) if b == 0
+                 else jnp.stack([k[:, 0] + k[:, 1], k[:, 2]], axis=1))
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=(1, 1), padding=(pad[a], pad[b]),
+                dimension_numbers=dn,
+                preferred_element_type=self.dtype) + bias
+
+        row0 = jnp.stack([parity(0, 0), parity(0, 1)], axis=3)  # (B,H,W,2,O)
+        row1 = jnp.stack([parity(1, 0), parity(1, 1)], axis=3)
+        out = jnp.stack([row0, row1], axis=2)                   # (B,H,2,W,2,O)
+        return out.reshape(B, 2 * H, 2 * W_, O)
+
+
 class VAEDecoder(nn.Module):
     """latents -> image in [-1, 1]."""
 
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    #: compute upsampler convs via the parity decomposition (4/9 FLOPs,
+    #: no 2x-res intermediate); numerics identical to repeat+conv
+    parity_upsample: bool = False
 
     @nn.compact
     def __call__(self, z):
@@ -174,10 +240,14 @@ class VAEDecoder(nn.Module):
                                    dtype=self.dtype,
                                    name=f"up_blocks_{bi}_resnets_{li}")(h)
             if bi < len(rev) - 1:
-                B, H, W, C = h.shape
-                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-                h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                            name=f"up_blocks_{bi}_upsamplers_0_conv")(h)
+                name = f"up_blocks_{bi}_upsamplers_0_conv"
+                if self.parity_upsample:
+                    h = ParityUpsampleConv(out_ch, dtype=self.dtype,
+                                           name=name)(h)
+                else:
+                    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                    h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                                name=name)(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps,
                          dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)

@@ -193,3 +193,20 @@ def test_vae_attention_parity_structured():
         {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     report_correctness(np.asarray(out).transpose(0, 3, 1, 2), ref,
                        "vae_attn.structured")
+
+
+def test_parity_upsample_matches_repeat_conv():
+    """ParityUpsampleConv (4 parity-aligned 2x2 convs, no 2x intermediate)
+    is the same function as repeat(2,2) + SAME conv3x3 — identical param
+    tree, identical output, including odd spatial dims (edge-pad taps)."""
+    cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                    norm_num_groups=4)
+    dec = VAEDecoder(cfg)
+    fast = VAEDecoder(cfg, parity_upsample=True)
+    z = jnp.asarray(np.random.RandomState(0).randn(2, 6, 5, 4), np.float32)
+    params = jax.jit(dec.init)(jax.random.key(0), z)["params"]
+    ref = jax.jit(lambda p, z: dec.apply({"params": p}, z))(params, z)
+    out = jax.jit(lambda p, z: fast.apply({"params": p}, z))(params, z)
+    assert out.shape == ref.shape == (2, 48, 40, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
