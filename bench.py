@@ -67,6 +67,8 @@ def _sd21_parts():
         cfg = dataclasses.replace(cfg, lowmem_groupnorm=True)
     if os.environ.get("SDTPU_FAST_GELU") == "1":
         cfg = dataclasses.replace(cfg, fast_gelu=True)
+    if os.environ.get("SDTPU_PARITY_UPSAMPLE") == "1":
+        cfg = dataclasses.replace(cfg, parity_upsample=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8
@@ -392,6 +394,20 @@ def bench_sdxl_extra() -> dict:
             "sdxl_vs_baseline": round(bench_sdxl.BASELINE_E2E_S / best, 2)}
 
 
+def bench_sdxl768_extra() -> dict:
+    """The reference's MBP benchmark config (SDXL 768x768, 20 steps,
+    README.md:100-105; best 27 s / 0.98 iter/s on iPad Pro M2 with the
+    4.04-bit MBP UNet).  MBP artifacts here dequantize at install, so
+    compressed serving speed == dense — this row IS the MBP serving rate."""
+    import bench_sdxl
+
+    best = bench_sdxl.run(image_size=768)
+    return {"sdxl_768_e2e_s": round(best, 3),
+            "sdxl_768_iter_s": round(STEPS / best, 2),
+            "sdxl_768_vs_baseline": round(
+                bench_sdxl.BASELINE_768_E2E_S / best, 2)}
+
+
 def bench_sd3_extra() -> dict:
     import bench_sd3
 
@@ -447,6 +463,7 @@ def main():
             ("tunnel_sanity", lambda: bench_tunnel_sanity(parts)),
             ("w8a8", bench_w8a8_extra),
             ("sdxl", bench_sdxl_extra),
+            ("sdxl768", bench_sdxl768_extra),
             ("sd3", bench_sd3_extra),
         ]
         if run_once is None:

@@ -26,6 +26,11 @@ from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
 STEPS = 20
 GUIDANCE = 5.0
 BASELINE_E2E_S = 20.0  # M2 Ultra, README.md:137
+# Reference's 768x768 config (the MBP-compressed UNet benchmark rows,
+# README.md:100-105): best 27 s / 0.98 iter/s on iPad Pro (M2).  MBP
+# artifacts here dequantize at install (measured: in-program LUT dequant
+# is ~50x slower on TPU, CLAUDE.md), so compressed serving speed == dense.
+BASELINE_768_E2E_S = 27.0
 
 
 def _random_params(model, *args, dtype=jnp.bfloat16):
@@ -33,9 +38,9 @@ def _random_params(model, *args, dtype=jnp.bfloat16):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
 
 
-def run() -> float:
+def run(image_size: int = 1024) -> float:
     """-> best e2e seconds (importable from bench.py for the driver run)."""
-    h = w = 128  # 1024 / 8
+    h = w = image_size // 8
 
     ucfg = UNetConfig.sdxl()
     unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
@@ -66,9 +71,10 @@ def run() -> float:
         ctx = jnp.concatenate([o1["penultimate_hidden_state"],
                                o2["penultimate_hidden_state"]], axis=-1)
         pooled = o2["pooled_output"]
+        sz = float(image_size)
         added = {"text_embeds": pooled,
                  "time_ids": jnp.broadcast_to(
-                     jnp.asarray([1024, 1024, 0, 0, 1024, 1024], jnp.float32),
+                     jnp.asarray([sz, sz, 0, 0, sz, sz], jnp.float32),
                      (2, 6))}
         state = sched.initial_state(plan, latents.shape)
 

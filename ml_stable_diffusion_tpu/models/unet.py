@@ -78,6 +78,10 @@ class UNetConfig:
     #: math slightly vs the reference's F.gelu (unet.py:609).  Measured
     #: 59.4 vs 58.5 iter/s on the SD-2.1 headline (r2, SDTPU_FAST_GELU=1).
     fast_gelu: bool = False
+    #: serve-time optimization: upsampler NN-2x+conv3x3 computed as four
+    #: parity-aligned 2x2 convs (4/9 the FLOPs, no 2x-res intermediate);
+    #: numerics identical — see models/vae.py ParityUpsampleConv
+    parity_upsample: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -403,10 +407,15 @@ class Downsample2D(nn.Module):
 class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    parity: bool = False
 
     @nn.compact
     def __call__(self, x):
-        B, H, W, C = x.shape
+        if self.parity:
+            from .vae import ParityUpsampleConv
+
+            return ParityUpsampleConv(self.channels, dtype=self.dtype,
+                                      name="conv")(x)
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
         return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv")(x)
@@ -547,6 +556,7 @@ class UNet2DConditionModel(nn.Module):
                         name=f"up_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
             if not is_final:
                 h = Upsample2D(out_ch, dtype=self.dtype,
+                               parity=cfg.parity_upsample,
                                name=f"up_blocks_{bi}_upsamplers_0")(h)
 
         # --- out ---

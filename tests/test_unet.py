@@ -472,3 +472,27 @@ def test_lcm_time_cond_proj_forward_and_port():
             jax.tree_util.tree_leaves_with_path(ported)):
         np.testing.assert_array_equal(np.asarray(va), vb,
                                       err_msg=jax.tree_util.keystr(pa))
+
+
+def test_unet_parity_upsample_matches_repeat_conv():
+    """UNetConfig.parity_upsample computes upsampler convs via the parity
+    decomposition — identical param tree, same output as repeat+conv3x3."""
+    import dataclasses
+
+    from helpers import tiny_unet
+
+    model, params = tiny_unet()
+    fast = UNet2DConditionModel(
+        dataclasses.replace(model.config, parity_upsample=True))
+    sample = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4),
+                         np.float32)
+    t = jnp.full((2,), 500.0)
+    ctx = jnp.asarray(
+        np.random.RandomState(1).randn(
+            2, 77, model.config.cross_attention_dim), np.float32)
+    ref = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+        params, sample, t, ctx)
+    out = jax.jit(lambda p, *a: fast.apply({"params": p}, *a))(
+        params, sample, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
