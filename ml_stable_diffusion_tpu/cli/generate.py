@@ -33,6 +33,10 @@ def parser_spec() -> argparse.ArgumentParser:
     p.add_argument("--timestep-spacing", default=None,
                    help="linspace|leading|trailing|karras")
     p.add_argument("--timestep-shift", type=float, default=3.0)
+    p.add_argument("--deepcache-interval", type=int, default=1,
+                   help="run the full UNet only every Nth step, a shallow "
+                        "cached pass between (1 = off/exact; 2-3 typical; "
+                        "SD/SDXL only)")
     p.add_argument("--rng", default="jax",
                    choices=["jax", "numpy", "torch", "nvidia"])
     p.add_argument("--image", default=None, help="img2img input image path")
@@ -275,7 +279,8 @@ def run(args) -> list:
         unet_batch_one=args.unet_batch_one,
         use_denoised_intermediates=args.use_denoised_intermediates,
         reduce_memory=args.reduce_memory,
-        attention_implementation=args.attention_implementation)
+        attention_implementation=args.attention_implementation,
+        deepcache_interval=args.deepcache_interval)
 
     out_dir = Path(args.output_path)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -443,8 +443,32 @@ class UNet2DConditionModel(nn.Module):
                  mid_block_residual: jnp.ndarray | None = None,
                  ip_context: jnp.ndarray | None = None,
                  ip_scale: float = 1.0,
-                 timestep_cond: jnp.ndarray | None = None):
+                 timestep_cond: jnp.ndarray | None = None,
+                 return_deep_feature: bool = False,
+                 deep_feature: jnp.ndarray | None = None):
+        """``return_deep_feature`` / ``deep_feature``: DeepCache-style deep
+        feature reuse (arXiv 2312.03209 / 2312.09608 family).  The "deep
+        feature" is the tensor ENTERING the last up block (the output of
+        up_blocks[-2]'s upsampler, full latent resolution,
+        ``reversed(block_out_channels)[-2]`` channels).
+
+        - ``return_deep_feature=True``: also return that tensor (full pass).
+        - ``deep_feature=...``: SHALLOW pass — compute only conv_in + down
+          block 0 (its resnets/attentions feed the last up block's skip
+          connections; the downsampler and everything deeper is skipped),
+          substitute the given tensor for the deep trunk, and run the last
+          up block + out head.  With a feature captured from a full pass on
+          the SAME (sample, t, context) this is bit-identical to the full
+          forward; reused across nearby timesteps it is the DeepCache
+          approximation.  ControlNet down-residuals still apply to the
+          shallow skips (the deeper residuals ride the cached trunk);
+          ``mid_block_residual`` is part of the skipped trunk.
+        """
         cfg = self.config
+        shallow = deep_feature is not None
+        assert not (shallow and return_deep_feature)
+        if shallow or return_deep_feature:
+            assert len(cfg.up_block_types) >= 2, cfg.up_block_types
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
         if cfg.time_cond_proj_dim is not None and timestep_cond is None:
@@ -484,7 +508,9 @@ class UNet2DConditionModel(nn.Module):
         h = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(sample)
         residuals = [h]
-        for bi, btype in enumerate(cfg.down_block_types):
+        down_blocks = (list(enumerate(cfg.down_block_types))[:1] if shallow
+                       else list(enumerate(cfg.down_block_types)))
+        for bi, btype in down_blocks:
             out_ch = cfg.block_out_channels[bi]
             is_final = bi == len(cfg.down_block_types) - 1
             for li in range(cfg.layers_per_block):
@@ -502,40 +528,50 @@ class UNet2DConditionModel(nn.Module):
                         dtype=self.dtype,
                         name=f"down_blocks_{bi}_attentions_{li}")(h, encoder_hidden_states)
                 residuals.append(h)
-            if not is_final:
+            if not is_final and not shallow:
                 h = Downsample2D(out_ch, dtype=self.dtype,
                                  name=f"down_blocks_{bi}_downsamplers_0")(h)
                 residuals.append(h)
 
-        # --- mid ---
-        mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
-                          fused_gn=cfg.fused_groupnorm,
-                                  lowmem_gn=cfg.lowmem_groupnorm,
-                          dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
-        h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
-                               cfg.transformer_layers_per_block[-1],
-                               cfg.cross_attention_dim, cfg.norm_num_groups,
-                               fuse_qkv=cfg.fuse_qkv, fast_gelu=cfg.fast_gelu,
-                        dtype=self.dtype,
-                               name="mid_block_attentions_0")(h, encoder_hidden_states)
-        h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
-                          fused_gn=cfg.fused_groupnorm,
-                                  lowmem_gn=cfg.lowmem_groupnorm,
-                          dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
+        # --- mid (skipped on the shallow deep-feature path) ---
+        if not shallow:
+            mid_ch = cfg.block_out_channels[-1]
+            h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                              fused_gn=cfg.fused_groupnorm,
+                              lowmem_gn=cfg.lowmem_groupnorm,
+                              dtype=self.dtype, name="mid_block_resnets_0")(h, emb)
+            h = SpatialTransformer(mid_ch, cfg.num_attention_heads[-1],
+                                   cfg.transformer_layers_per_block[-1],
+                                   cfg.cross_attention_dim, cfg.norm_num_groups,
+                                   fuse_qkv=cfg.fuse_qkv, fast_gelu=cfg.fast_gelu,
+                                   dtype=self.dtype,
+                                   name="mid_block_attentions_0")(h, encoder_hidden_states)
+            h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, cfg.norm_eps,
+                              fused_gn=cfg.fused_groupnorm,
+                              lowmem_gn=cfg.lowmem_groupnorm,
+                              dtype=self.dtype, name="mid_block_resnets_1")(h, emb)
 
-        # --- ControlNet residual injection (unet.py:1009-1022) ---
+        # --- ControlNet residual injection (unet.py:1009-1022); on the
+        # shallow path zip truncates to the shallow skips (conv_in + down
+        # block 0), whose order matches the residual list's head ---
         if down_block_residuals is not None:
             residuals = [r + c.astype(r.dtype)
                          for r, c in zip(residuals, down_block_residuals)]
-        if mid_block_residual is not None:
+        if mid_block_residual is not None and not shallow:
             h = h + mid_block_residual.astype(h.dtype)
 
         # --- up ---
         rev_channels = list(reversed(cfg.block_out_channels))
-        for bi, btype in enumerate(cfg.up_block_types):
+        deep_out = None
+        up_blocks = list(enumerate(cfg.up_block_types))
+        if shallow:
+            up_blocks = up_blocks[-1:]
+            h = deep_feature.astype(self.dtype)
+        for bi, btype in up_blocks:
             out_ch = rev_channels[bi]
             is_final = bi == len(cfg.up_block_types) - 1
+            if is_final and return_deep_feature:
+                deep_out = h
             for li in range(cfg.layers_per_block + 1):
                 res = residuals.pop()
                 h = jnp.concatenate([h, res.astype(h.dtype)], axis=-1)
@@ -565,4 +601,6 @@ class UNet2DConditionModel(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(h)
+        if return_deep_feature:
+            return h.astype(jnp.float32), deep_out
         return h.astype(jnp.float32)

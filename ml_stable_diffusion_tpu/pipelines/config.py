@@ -83,6 +83,17 @@ class PipelineConfiguration:
     #: --attention-implementation {ORIGINAL, SPLIT_EINSUM[_V2]} switch
     attention_implementation: str = "auto"
 
+    #: DeepCache-style serving acceleration (beyond the reference; arXiv
+    #: 2312.03209/2312.09608 family): run the FULL UNet only every Nth
+    #: denoise step and a shallow pass (conv_in + top down block + last up
+    #: block) between, reusing the cached deep trunk feature.  Compiled as
+    #: a ``lax.cond`` inside the one-program scan (both branches traced
+    #: once; the cache lives in the scan carry, never leaving the device).
+    #: 1 = off (exact); 2-3 = typical quality/speed tradeoff.  UNet
+    #: families only (SD/SDXL); incompatible with ``unet_batch_one`` and
+    #: the per-step progress-callback path.
+    deepcache_interval: int = 1
+
     #: latent scale/shift; None -> per-family defaults (main.swift:119-139)
     encoder_scale_factor: float | None = None
     decoder_scale_factor: float | None = None
@@ -102,3 +113,5 @@ class PipelineConfiguration:
             raise ValueError("step_count must be >= 1")
         if self.image_count < 1:
             raise ValueError("image_count must be >= 1")
+        if self.deepcache_interval < 1:
+            raise ValueError("deepcache_interval must be >= 1")

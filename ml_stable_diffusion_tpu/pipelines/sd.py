@@ -681,18 +681,28 @@ class StableDiffusionPipeline:
 
     # -- denoiser phases (overridden by SDXL for the refiner) -------------------
 
+    #: UNet families support DeepCache deep-feature reuse (SD3's MMDiT has
+    #: no shallow/deep split to exploit — StableDiffusion3Pipeline flips
+    #: this off)
+    supports_deepcache = True
+
     def _call_unet(self, bundle, latents, t, context, added_cond, down_res,
                    mid_res, ip_context=None, ip_scale=1.0,
-                   timestep_cond=None):
-        kw = {}
+                   timestep_cond=None, **unet_kw):
+        kw = dict(unet_kw)
         if ip_context is not None:
-            kw = {"ip_context": ip_context, "ip_scale": ip_scale}
+            kw.update(ip_context=ip_context, ip_scale=ip_scale)
         if timestep_cond is not None:
             kw["timestep_cond"] = timestep_cond
         return self.unet.apply(
             {"params": bundle["unet"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
             mid_block_residual=mid_res, **kw)
+
+    def _phase_unet(self, call_unet):
+        """The Flax module a phase's ``call_unet`` dispatches to (the SDXL
+        subclass maps its refiner caller to the refiner UNet)."""
+        return self.unet
 
     def _denoise_phases(self, cfg: PipelineConfiguration, num_steps: int):
         """-> list of (start, end, unet_caller).  One phase for plain SD."""
@@ -796,6 +806,16 @@ class StableDiffusionPipeline:
         unet9 = self.unet.config.in_channels == C + 5
 
         ip_scale = float(cfg.ip_adapter_scale)
+
+        dc = max(1, int(getattr(cfg, "deepcache_interval", 1) or 1))
+        if dc > 1:
+            if not self.supports_deepcache:
+                raise ValueError(
+                    "deepcache_interval > 1 is not supported for this "
+                    "model family (no shallow/deep UNet split)")
+            if batch_one:
+                raise ValueError("deepcache_interval > 1 is incompatible "
+                                 "with unet_batch_one (serial CFG parity)")
 
         # fully-distilled LCM checkpoints embed the guidance scale as a
         # conditioning input instead of CFG (diffusers LCM pipeline feeds
@@ -930,7 +950,12 @@ class StableDiffusionPipeline:
                             mid_sum = mid_sum + m
                 return down_sum, mid_sum
 
-            def denoise(latents_in, t):
+            def denoise(latents_in, t, feat=None, full=None):
+                """``feat``/``full`` (DeepCache): the carried deep-feature
+                tensor and the is-full-step predicate; a ``lax.cond``
+                selects the full UNet (recomputing the cache) or the
+                shallow pass (consuming it).  ``feat=None`` is the exact
+                path (identical to pre-DeepCache tracing)."""
                 down_res, mid_res = controlnet_stage(latents_in, t)
                 if extras9 is not None:
                     # 9-ch inpainting UNet: concat AFTER scale_model_input
@@ -938,12 +963,28 @@ class StableDiffusionPipeline:
                     latents_in = jnp.concatenate(
                         [latents_in, extras9.astype(latents_in.dtype)],
                         axis=-1)
+
+                def cached_call(*args, **kws):
+                    if feat is None:
+                        return call_unet(*args, **kws), None
+
+                    def _full(f):
+                        return call_unet(*args, **kws,
+                                         return_deep_feature=True)
+
+                    def _shallow(f):
+                        return call_unet(*args, **kws, deep_feature=f), f
+
+                    return jax.lax.cond(full, _full, _shallow, feat)
+
                 if not guidance_on:
-                    return call_unet(bundle, latents_in, t, ctx_pos, added_pos,
-                                     down_res, mid_res, **ip_kw(ip_pos),
-                                     **tc_kw)
+                    out, new_feat = cached_call(
+                        bundle, latents_in, t, ctx_pos, added_pos,
+                        down_res, mid_res, **ip_kw(ip_pos), **tc_kw)
+                    return out if feat is None else (out, new_feat)
                 if batch_one:
                     # serial CFG parity mode (pipeline.py:540-557)
+                    assert feat is None, "deepcache + unet_batch_one"
                     out_neg = call_unet(bundle, latents_in, t, ctx_neg,
                                         added_neg, down_res, mid_res,
                                         **ip_kw(ip_neg), **tc_kw)
@@ -965,28 +1006,43 @@ class StableDiffusionPipeline:
                         mr2 = jnp.concatenate([mid_res, mid_res], axis=0)
                     ip2 = (jnp.concatenate([ip_neg, ip_pos], axis=0)
                            if ip_pos is not None else None)
-                    out = call_unet(bundle, lat2, t, ctx2, added2, dr2, mr2,
-                                    **ip_kw(ip2))
+                    out, new_feat = cached_call(
+                        bundle, lat2, t, ctx2, added2, dr2, mr2,
+                        **ip_kw(ip2))
                     out_neg, out_pos = jnp.split(out, 2, axis=0)
                 # performGuidance (StableDiffusionPipeline.swift:465-483)
-                return out_neg + g * (out_pos - out_neg)
+                guided = out_neg + g * (out_pos - out_neg)
+                return guided if feat is None else (guided, new_feat)
 
             return denoise
 
-        def make_step(denoiser, key, ipack=None, with_preview=False):
+        def make_step(denoiser, key, ipack=None, with_preview=False,
+                      phase_lo=0):
             """scan body; xs = (i, step_noise|None).  ys = predicted-x0
             preview when with_preview (callback path only).  ``ipack``
             (z0, init noise, latent mask): legacy inpainting — after the
             scheduler step, the known region is replaced by the clean
             latents re-noised to the NEXT step's level (clean at the end),
-            so only the masked region is generated."""
+            so only the masked region is generated.
+
+            With deepcache (dc > 1) the carry grows a third element — the
+            deep-feature cache — and step ``i`` runs the full UNet iff
+            ``(i - phase_lo) % dc == 0`` (each phase restarts full, so the
+            refiner never consumes the base UNet's cache)."""
 
             def step(carry, xs):
-                latents, state = carry
+                if dc > 1:
+                    latents, state, feat = carry
+                else:
+                    latents, state = carry
                 i, step_noise = xs
                 t = plan.timesteps[i]
                 latents_in = scheduler.scale_model_input(plan, state, latents, i)
-                noise_pred = denoiser(latents_in, t)
+                if dc > 1:
+                    noise_pred, feat = denoiser(
+                        latents_in, t, feat, ((i - phase_lo) % dc) == 0)
+                else:
+                    noise_pred = denoiser(latents_in, t)
                 preview = (scheduler.pred_x0(plan, state, noise_pred, i,
                                              latents)
                            if with_preview else None)
@@ -1006,9 +1062,20 @@ class StableDiffusionPipeline:
                     known = jnp.where(i + 1 >= plan.num_steps, z0,
                                       scheduler.add_noise(plan, z0, noise0, j))
                     latents = m * latents + (1.0 - m) * known
+                if dc > 1:
+                    return (latents, state, feat), preview
                 return (latents, state), preview
 
             return step
+
+        def dc_feat0(call_unet):
+            """zero-initialized deep-feature carry for a phase (the phase's
+            first step is always full, overwriting it)."""
+            ucfg = self._phase_unet(call_unet).config
+            c_feat = tuple(reversed(ucfg.block_out_channels))[-2]
+            b_eff = 2 * N if guidance_on else N
+            return jnp.zeros((b_eff, h, w, c_feat),
+                             self._phase_unet(call_unet).dtype)
 
         def phase_denoisers(bundle, text, ctrl_images):
             text, ipack, extras9, ip_pair = _unpack(text)
@@ -1029,7 +1096,7 @@ class StableDiffusionPipeline:
                                                   ctx_pos, added_neg,
                                                   added_pos, ctrl_images,
                                                   phase_extras9, phase_ip),
-                            ipack))
+                            ipack, call_unet))
             return out
 
         def full_run(bundle, token_ids, init_image, key, init_noise,
@@ -1039,12 +1106,17 @@ class StableDiffusionPipeline:
                                          init_noise, mask_px, ip_image)
             state = scheduler.initial_state(plan, latents.shape)
             idx = jnp.arange(plan.num_steps)
-            for lo, hi, denoiser, ipack in phase_denoisers(bundle, text,
-                                                           ctrl_images):
-                step = make_step(denoiser, key, ipack)
+            for lo, hi, denoiser, ipack, cu in phase_denoisers(bundle, text,
+                                                               ctrl_images):
+                step = make_step(denoiser, key, ipack, phase_lo=lo)
                 xs = (idx[lo:hi],
                       None if step_noises is None else step_noises[lo:hi])
-                (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
+                if dc > 1:
+                    (latents, state, _), _ = jax.lax.scan(
+                        step, (latents, state, dc_feat0(cu)), xs)
+                else:
+                    (latents, state), _ = jax.lax.scan(step, (latents, state),
+                                                       xs)
             return latents
 
         # per-step entry points for the callback path
@@ -1064,13 +1136,18 @@ class StableDiffusionPipeline:
             def phase_scan(bundle, latents, state, text, step_noises, key,
                            ctrl_images):
                 bundle = self._materialize_bundle(bundle)
-                lo, hi, denoiser, ipack = phase_denoisers(
+                lo, hi, denoiser, ipack, cu = phase_denoisers(
                     bundle, text, ctrl_images)[phase_idx]
-                step = make_step(denoiser, key, ipack)
+                step = make_step(denoiser, key, ipack, phase_lo=lo)
                 idx = jnp.arange(plan.num_steps)
                 xs = (idx[lo:hi],
                       None if step_noises is None else step_noises[lo:hi])
-                (latents, state), _ = jax.lax.scan(step, (latents, state), xs)
+                if dc > 1:
+                    (latents, state, _), _ = jax.lax.scan(
+                        step, (latents, state, dc_feat0(cu)), xs)
+                else:
+                    (latents, state), _ = jax.lax.scan(step, (latents, state),
+                                                       xs)
                 return latents, state
 
             return sdtpu_jit(self._intercepted(phase_scan))
@@ -1078,8 +1155,12 @@ class StableDiffusionPipeline:
         def make_one_step(phase_idx):
             def one_step(bundle, latents, state, text, i, step_noise, key,
                          ctrl_images):
+                if dc > 1:  # cache can't round-trip the per-step programs
+                    raise ValueError("deepcache_interval > 1 is incompatible "
+                                     "with the per-step progress-callback "
+                                     "path")
                 bundle = self._materialize_bundle(bundle)
-                lo, hi, denoiser, ipack = phase_denoisers(
+                lo, hi, denoiser, ipack, _cu = phase_denoisers(
                     bundle, text, ctrl_images)[phase_idx]
                 step = make_step(denoiser, key, ipack,
                                  with_preview=cfg.use_denoised_intermediates)
@@ -1198,6 +1279,10 @@ class StableDiffusionPipeline:
         from ..ops.attention import set_attention_implementation
 
         set_attention_implementation(cfg.attention_implementation)
+        if cfg.deepcache_interval > 1 and progress_handler is not None:
+            raise ValueError("deepcache_interval > 1 is incompatible with a "
+                             "progress_handler (the deep-feature cache "
+                             "lives in the one-program scan carry)")
         key = (cfg.scheduler, cfg.step_count, N, h, w, guidance_on, n_ctrl,
                img2img, inpaint, ip_on,
                round(cfg.ip_adapter_scale, 4) if ip_on else 0,
@@ -1206,6 +1291,7 @@ class StableDiffusionPipeline:
                cfg.guidance_scale, cfg.timestep_shift,
                cfg.attention_implementation,
                cfg.use_denoised_intermediates,
+               cfg.deepcache_interval,
                self._conditioning_cache_key(cfg))
         if key not in self._programs:
             self._programs[key] = self._build_program(

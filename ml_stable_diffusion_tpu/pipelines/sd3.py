@@ -30,6 +30,9 @@ class StableDiffusion3Pipeline(StableDiffusionPipeline):
     default_latent_scale = 1.5305
     default_latent_shift = 0.0609
     latent_channels = 16
+    #: MMDiT is a uniform transformer stack — no shallow/deep UNet split
+    #: for DeepCache-style feature reuse
+    supports_deepcache = False
 
     def __init__(self, *, tokenizer, tokenizer2, t5_tokenizer=None,
                  text_encoder, text_encoder2, t5_encoder=None, mmdit,

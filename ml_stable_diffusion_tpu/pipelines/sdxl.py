@@ -157,11 +157,16 @@ class StableDiffusionXLPipeline(StableDiffusionPipeline):
         return phases
 
     def _call_refiner(self, bundle, latents, t, context, added_cond,
-                      down_res, mid_res):
+                      down_res, mid_res, **unet_kw):
         return self.refiner_unet.apply(
             {"params": bundle["refiner"]}, latents, t, context,
             added_cond=added_cond, down_block_residuals=down_res,
-            mid_block_residual=mid_res)
+            mid_block_residual=mid_res, **unet_kw)
+
+    def _phase_unet(self, call_unet):
+        if call_unet == self._call_refiner:
+            return self.refiner_unet
+        return self.unet
 
     def _phase_conditioning(self, cfg, text, N, call_unet):
         is_refiner = call_unet == self._call_refiner

@@ -44,6 +44,9 @@ class ServeConfig:
     scheduler: str = "DPMSolverMultistep"
     image_count: int = 1
     guidance_scale: float = 7.5
+    #: DeepCache acceleration for this bucket (PipelineConfiguration
+    #: .deepcache_interval); 1 = exact
+    deepcache_interval: int = 1
 
 
 @dataclasses.dataclass
@@ -86,7 +89,8 @@ class GenerationServer:
                     seed=list(range(n)) if b > 1 else 0,
                     step_count=sc.step_count,
                     scheduler=sc.scheduler, image_count=n,
-                    guidance_scale=sc.guidance_scale, disable_safety=True)
+                    guidance_scale=sc.guidance_scale, disable_safety=True,
+                    deepcache_interval=sc.deepcache_interval)
                 logger.info("precompiling %s batch=%d", sc, b)
                 self.pipeline.generate_images(cfg, image_hw=sc.image_hw)
         logger.info("precompiled %d configurations", len(self.configs))
@@ -121,7 +125,7 @@ class GenerationServer:
                 c.attention_implementation, c.disable_safety,
                 c.original_size, c.target_size, c.crops_coords_top_left,
                 c.aesthetic_score, c.negative_aesthetic_score,
-                round(c.refiner_start, 4))
+                round(c.refiner_start, 4), c.deepcache_interval)
 
     def submit(self, cfg: PipelineConfiguration,
                image_hw: tuple[int, int] = (512, 512)) -> Future:

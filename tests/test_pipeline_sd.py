@@ -197,3 +197,45 @@ def test_lcm_guidance_embedded_checkpoint(tmp_path):
         _cfg(seed=7, scheduler="LCM", step_count=4, guidance_scale=2.0),
         image_hw=HW)
     assert np.abs(a.latents - c.latents).max() > 1e-6
+
+
+def test_deepcache(pipe):
+    """DeepCache compiled-in feature reuse: (a) a 1-step run is EXACT (the
+    first step of every phase is full); (b) interval 2 runs and differs
+    from exact (the approximation engages); (c) deterministic per seed;
+    (d) incompatible modes raise."""
+    exact1 = pipe.generate_images(_cfg(seed=5, step_count=1), image_hw=HW)
+    dc1 = pipe.generate_images(
+        _cfg(seed=5, step_count=1, deepcache_interval=2), image_hw=HW)
+    np.testing.assert_allclose(dc1.latents, exact1.latents,
+                               rtol=2e-5, atol=2e-5)
+
+    exact = pipe.generate_images(_cfg(seed=5), image_hw=HW)
+    a = pipe.generate_images(_cfg(seed=5, deepcache_interval=2),
+                             image_hw=HW)
+    b = pipe.generate_images(_cfg(seed=5, deepcache_interval=2),
+                             image_hw=HW)
+    np.testing.assert_array_equal(a.latents, b.latents)
+    assert np.abs(a.latents - exact.latents).max() > 1e-6
+    assert np.isfinite(a.latents).all()
+
+    with pytest.raises(ValueError, match="unet_batch_one"):
+        pipe.generate_images(
+            _cfg(deepcache_interval=2, unet_batch_one=True), image_hw=HW)
+    with pytest.raises(ValueError, match="progress_handler"):
+        pipe.generate_images(_cfg(deepcache_interval=2),
+                             progress_handler=lambda p: True, image_hw=HW)
+    with pytest.raises(ValueError, match="deepcache_interval"):
+        pipe.generate_images(_cfg(deepcache_interval=0), image_hw=HW)
+
+
+def test_deepcache_reduce_memory_matches_full_program(pipe):
+    """The staged (reduce_memory) path builds the same deepcache scan per
+    phase — latents must match the one-program path bit-for-bit."""
+    full = pipe.generate_images(_cfg(seed=7, deepcache_interval=2),
+                                image_hw=HW)
+    pipe.offload_params_to_host()
+    staged = pipe.generate_images(
+        _cfg(seed=7, deepcache_interval=2, reduce_memory=True),
+        image_hw=HW)
+    np.testing.assert_allclose(staged.latents, full.latents, atol=1e-5)

@@ -171,3 +171,11 @@ def test_latent_preview():
     assert rgb.min() >= -1 and rgb.max() <= 1
     with pytest.raises(ValueError):
         latent_to_rgb_preview(np.zeros((1, 8, 8, 16)))
+
+
+def test_sd3_deepcache_unsupported(sd3_pipe):
+    """MMDiT has no shallow/deep UNet split — deepcache must raise, not
+    silently approximate."""
+    with pytest.raises(ValueError, match="deepcache"):
+        sd3_pipe.generate_images(_cfg(seed=1, deepcache_interval=2),
+                                 image_hw=(64, 64))

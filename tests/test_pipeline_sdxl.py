@@ -164,3 +164,31 @@ def test_xl_reduce_memory_matches_default(xl_pipe):
     b = xl_pipe.generate_images(_cfg(seed=3, refiner_start=0.6,
                                      reduce_memory=True), image_hw=(64, 64))
     np.testing.assert_allclose(a.latents, b.latents, atol=2e-4)
+
+
+def test_xl_deepcache_with_refiner(xl_pipe):
+    """DeepCache across the base->refiner handoff: each phase restarts with
+    a full step and its own cache shape (base and refiner UNets differ), so
+    the program runs and stays deterministic; a 1-step base + 1-step
+    refiner split is exact (every step is a phase-initial full step)."""
+    exact = xl_pipe.generate_images(
+        _cfg(seed=9, step_count=2, refiner_start=0.5), image_hw=(64, 64))
+    dc = xl_pipe.generate_images(
+        _cfg(seed=9, step_count=2, refiner_start=0.5, deepcache_interval=3),
+        image_hw=(64, 64))
+    # tight tolerance, not bit-equality: the lax.cond program compiles
+    # with different fusions than the straight-line one
+    np.testing.assert_allclose(dc.latents, exact.latents,
+                               rtol=2e-5, atol=2e-5)
+
+    a = xl_pipe.generate_images(
+        _cfg(seed=9, refiner_start=0.6, deepcache_interval=2),
+        image_hw=(64, 64))
+    b = xl_pipe.generate_images(
+        _cfg(seed=9, refiner_start=0.6, deepcache_interval=2),
+        image_hw=(64, 64))
+    np.testing.assert_array_equal(a.latents, b.latents)
+    assert np.isfinite(a.latents).all()
+    full = xl_pipe.generate_images(_cfg(seed=9, refiner_start=0.6),
+                                   image_hw=(64, 64))
+    assert np.abs(a.latents - full.latents).max() > 1e-6

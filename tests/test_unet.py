@@ -496,3 +496,28 @@ def test_unet_parity_upsample_matches_repeat_conv():
         params, sample, t, ctx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_deep_feature_oracle_bit_identity():
+    """The DeepCache split is exact by construction: a shallow pass fed the
+    deep feature captured from a full pass on the SAME inputs must be
+    bit-identical to the full forward (the last up block sees identical
+    trunk + skip inputs)."""
+    from helpers import tiny_unet
+
+    model, params = tiny_unet()
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4), np.float32)
+    t = jnp.full((2,), 500.0)
+    ctx = jnp.asarray(np.random.RandomState(1).randn(
+        2, 77, model.config.cross_attention_dim), np.float32)
+    eps_full, feat = jax.jit(lambda p, *a: model.apply(
+        {"params": p}, *a, return_deep_feature=True))(params, x, t, ctx)
+    # feature: full latent resolution, reversed(block_out_channels)[-2] ch
+    assert feat.shape == (2, 8, 8, 32)
+    eps_plain = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+        params, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(eps_full), np.asarray(eps_plain))
+    eps_shallow = jax.jit(lambda p, f, *a: model.apply(
+        {"params": p}, *a, deep_feature=f))(params, feat, x, t, ctx)
+    np.testing.assert_array_equal(np.asarray(eps_shallow),
+                                  np.asarray(eps_full))
