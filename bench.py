@@ -212,14 +212,15 @@ def build_pipeline_rig(parts):
         vae_decoder=(dec, dec_params))
 
     def run_once(i, steps=STEPS, scheduler="DPMSolverMultistep",
-                 guidance=GUIDANCE, batch=1):
+                 guidance=GUIDANCE, batch=1, deepcache=1):
         gen = PipelineConfiguration(
             prompt=([PROMPTS[(i + j) % len(PROMPTS)] for j in range(batch)]
                     if batch > 1 else PROMPTS[i % len(PROMPTS)]),
             step_count=steps, guidance_scale=guidance,
             seed=(list(range(1000 + i, 1000 + i + batch)) if batch > 1
                   else 1000 + i),
-            image_count=batch, disable_safety=True, scheduler=scheduler)
+            image_count=batch, disable_safety=True, scheduler=scheduler,
+            deepcache_interval=deepcache)
         r = pipe.generate_images(gen, image_hw=(512, 512))
         return r.seconds_per_step * steps
 
@@ -247,6 +248,20 @@ def bench_pipeline_slope(run_once) -> dict:
         "pipeline_marginal_iter_s": round(1.0 / slope, 3),
         "pipeline_fixed_overhead_ms": round((t20 - STEPS * slope) * 1e3, 1),
     }
+
+
+def bench_deepcache(run_once, headline: float) -> dict:
+    """DeepCache compiled-in feature reuse (--deepcache-interval): full
+    UNet every Nth step, shallow cached pass between — an approximation
+    (unlike every other row), measured through the real pipeline path."""
+    out = {}
+    for n in (2, 3):
+        run_once(0, deepcache=n)  # warmup / compile
+        e2e = _median([run_once(10 * n + i + 1, deepcache=n)
+                       for i in range(3)])
+        out[f"deepcache{n}_iter_s"] = round(STEPS / e2e, 3)
+        out[f"deepcache{n}_speedup"] = round((STEPS / e2e) / headline, 2)
+    return out
 
 
 def bench_lcm(run_once) -> dict:
@@ -456,6 +471,7 @@ def main():
                                   round(bench_sd21(parts), 3)}),
             ("batch4", lambda: bench_batch(parts, headline, 4)),
             ("batch8", lambda: bench_batch(parts, headline, 8)),
+            ("deepcache", lambda: bench_deepcache(run_once, headline)),
             ("lcm", lambda: bench_lcm(run_once)),
             ("lcm_batch8", lambda: bench_lcm_batched(run_once)),
             ("pipeline_slope", lambda: bench_pipeline_slope(run_once)),
@@ -468,7 +484,8 @@ def main():
         ]
         if run_once is None:
             extras = [(n, f) for n, f in extras
-                      if n not in ("lcm", "lcm_batch8", "pipeline_slope")]
+                      if n not in ("lcm", "lcm_batch8", "pipeline_slope",
+                                   "deepcache")]
 
     skipped = []
     for name, fn in extras:

@@ -58,7 +58,12 @@ class _Pending:
 
 class GenerationServer:
     def __init__(self, pipeline, configs: list[ServeConfig] | None = None,
-                 max_batch: int = 8, batch_window_s: float = 0.010):
+                 max_batch: int = 4, batch_window_s: float = 0.010):
+        # max_batch default = the measured v5e saturation point (BENCH r4):
+        # a merged batch of 4 runs 4x20 steps in 1.06 s (1.35x over serial)
+        # but a batch of 8 takes 2.21 s — WORSE than two batch-4 merges
+        # (2.12 s).  The SD-2.1 UNet step at CFG batch 8 is past MXU
+        # saturation, so bigger merges only add latency.
         self.pipeline = pipeline
         self.configs = configs or [ServeConfig()]
         self.max_batch = max_batch
