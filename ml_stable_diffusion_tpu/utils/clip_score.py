@@ -13,8 +13,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.safety import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
-
 #: reference quality gate (test_stable_diffusion.py:37)
 MINIMUM_CLIP_SCORE = 0.3
 
@@ -35,4 +33,11 @@ def clip_score(text_encoder, text_params, vision_model, vision_params,
     vout = vision_model.apply({"params": vision_params}, jnp.asarray(img[None]))
     vemb = np.asarray(vout["image_embeds"], np.float64).reshape(-1)
     vemb /= np.linalg.norm(vemb) + 1e-8
+    if temb.shape != vemb.shape:
+        raise ValueError(
+            f"text embedding dim {temb.shape[0]} != image embedding dim "
+            f"{vemb.shape[0]}: the text tower does not project into the "
+            "vision tower's joint space — point --clip-checkpoint at a "
+            "bundle whose text encoder carries a text_projection into the "
+            "safety checker's projection_dim")
     return float(temb @ vemb)

@@ -126,25 +126,28 @@ def _write_vae(d):
 def _write_safety_checker(d, always_flag=False):
     """Synthetic HF-layout safety_checker/ dir.  ``always_flag`` sets the
     concept thresholds so any image trips the NSFW rule (for wiring tests)."""
+    # projection_dim matches the text encoder's hidden size (32) like real
+    # SD1.x bundles (ViT-L joint space 768 == text hidden 768) so the CLIP
+    # score path (utils/clip_score.py) has compatible embedding spaces.
     vision_cfg = transformers.CLIPVisionConfig(
-        projection_dim=16, image_size=32, patch_size=8, hidden_size=32,
+        projection_dim=32, image_size=32, patch_size=8, hidden_size=32,
         intermediate_size=64, num_hidden_layers=2, num_attention_heads=2)
     torch.manual_seed(0)
     vm = transformers.CLIPVisionModel(vision_cfg).eval()
     sd = {f"vision_model.{k}": v.numpy() for k, v in vm.state_dict().items()}
     g = np.random.RandomState(1)
-    sd["visual_projection.weight"] = g.randn(16, 32).astype(np.float32)
-    sd["concept_embeds"] = g.randn(3, 16).astype(np.float32)
+    sd["visual_projection.weight"] = g.randn(32, 32).astype(np.float32)
+    sd["concept_embeds"] = g.randn(3, 32).astype(np.float32)
     thresh = -10.0 if always_flag else 10.0
     sd["concept_embeds_weights"] = np.full(3, thresh, np.float32)
-    sd["special_care_embeds"] = g.randn(2, 16).astype(np.float32)
+    sd["special_care_embeds"] = g.randn(2, 32).astype(np.float32)
     sd["special_care_embeds_weights"] = np.full(2, 10.0, np.float32)
     d.mkdir(parents=True)
     (d / "config.json").write_text(json.dumps({
         "vision_config": {"image_size": 32, "patch_size": 8,
                           "hidden_size": 32, "intermediate_size": 64,
                           "num_hidden_layers": 2, "num_attention_heads": 2},
-        "projection_dim": 16}))
+        "projection_dim": 32}))
     save_file(sd, str(d / "model.safetensors"))
 
 
