@@ -22,6 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
 
+# Persistent compile cache for the test suite (separate from the TPU cache
+# at .jax_cache): the default profile is compile-dominated on this 1-core
+# host, and re-runs hit the cache.  Like the TPU path, the env var
+# JAX_COMPILATION_CACHE_DIR is swallowed by sitecustomize on this image —
+# jax.config is the only reliable switch (CLAUDE.md).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 # -- fast default profile ----------------------------------------------------
