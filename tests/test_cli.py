@@ -15,6 +15,7 @@ from ml_stable_diffusion_tpu.cli import convert as cli_convert
 from ml_stable_diffusion_tpu.cli import generate as cli_generate
 
 from test_convert_load import (  # noqa: F401  (fixture)
+    _write_safety_checker,
     _write_tokenizer,
     _write_text_encoder,
     _write_unet,
@@ -62,12 +63,21 @@ def test_benchmark_cli(sd_checkpoint, tmp_path):
 def test_benchmark_cli_clip_score(sd_checkpoint, tmp_path):
     """Opt-in CLIP quality gate (reference test_image_to_prompt_clip_score,
     threshold 0.3): scores ride benchmark.json and the gate trips below
-    --min-clip-score.  The synthetic checkpoint's safety checker provides
-    the CLIP vision tower."""
+    --min-clip-score.  The score requires a FULL CLIP bundle whose text
+    encoder carries a text_projection into the vision joint space
+    (--clip-checkpoint); the SD1.x-style bundled encoder (no projection)
+    is rejected by the joint-space guard even though its pooled dim
+    coincidentally matches (advisor finding r4)."""
+    clip_dir = tmp_path / "clip"
+    _write_tokenizer(clip_dir / "tokenizer")
+    _write_text_encoder(clip_dir / "text_encoder", with_projection=True,
+                        projection_dim=32)
+    _write_safety_checker(clip_dir / "safety_checker")
+
     out = tmp_path / "benchmark.json"
     base = ["-i", str(sd_checkpoint), "--step-count", "2", "--size", "64x64",
             "--scheduler", "DDIM", "--repeats", "1", "-o", str(out),
-            "--clip-score"]
+            "--clip-score", "--clip-checkpoint", str(clip_dir)]
     args = cli_benchmark.parser_spec().parse_args(
         base + ["--min-clip-score", "-1.0"])
     report = cli_benchmark.run(args)
@@ -77,6 +87,14 @@ def test_benchmark_cli_clip_score(sd_checkpoint, tmp_path):
     args = cli_benchmark.parser_spec().parse_args(
         base + ["--min-clip-score", "1.1"])
     with pytest.raises(SystemExit, match="quality gate"):
+        cli_benchmark.run(args)
+
+    # SD1.x-style encoder (no text_projection): guarded, not silently scored
+    args = cli_benchmark.parser_spec().parse_args(
+        ["-i", str(sd_checkpoint), "--step-count", "2", "--size", "64x64",
+         "--scheduler", "DDIM", "--repeats", "1", "-o", str(out),
+         "--clip-score", "--min-clip-score", "-1.0"])
+    with pytest.raises(ValueError, match="text_projection"):
         cli_benchmark.run(args)
 
 
