@@ -167,11 +167,16 @@ PROMPTS = ["a photo of an astronaut riding a horse on mars",
            "a bowl of ramen, studio light"]
 
 
-def build_pipeline_rig(parts):
+def build_pipeline_rig(parts, quality_init: bool = False):
     """The real serving stack with SD-2.1-dimension random weights:
     StableDiffusionPipeline (program cache, _materialize_bundle,
     interceptor wrapping, text encode + denoise scan in ONE jitted
-    program)."""
+    program).
+
+    ``quality_init=True`` replaces the 0.02-scale speed weights with
+    variance-preserving flax init (jitted; eager init compiles per-op
+    through the tunnel) — required by the signal-integrity extras, where
+    a near-zero-output net would inflate every PSNR."""
     import json as _json
     import pathlib
     import tempfile
@@ -187,6 +192,14 @@ def build_pipeline_rig(parts):
 
     cfg, unet_params, _, _, _ = parts
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
+    if quality_init:
+        h = w = 64
+        unet_params = jax.jit(lambda k: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            model.init(k, jnp.zeros((2, h, w, 4), jnp.float32),
+                       jnp.zeros((2,), jnp.float32),
+                       jnp.zeros((2, 77, cfg.cross_attention_dim),
+                                 jnp.float32))["params"]))(jax.random.key(11))
 
     tokdir = pathlib.Path(tempfile.mkdtemp())
     vocab = {}
@@ -200,11 +213,17 @@ def build_pipeline_rig(parts):
 
     te_cfg = CLIPTextConfig.sd2()
     te = CLIPTextEncoder(te_cfg)
-    te_params = _rand_tree(te, (jnp.zeros((1, 77), jnp.int32),), jnp.float32,
-                           seed=1)
     dec = VAEDecoder(VAEConfig.sd())
-    dec_params = _rand_tree(dec, (jnp.zeros((1, 8, 8, 4)),), jnp.float32,
-                            seed=2)
+    if quality_init:
+        te_params = jax.jit(te.init)(
+            jax.random.key(12), jnp.zeros((1, 77), jnp.int32))["params"]
+        dec_params = jax.jit(dec.init)(
+            jax.random.key(13), jnp.zeros((1, 8, 8, 4)))["params"]
+    else:
+        te_params = _rand_tree(te, (jnp.zeros((1, 77), jnp.int32),),
+                               jnp.float32, seed=1)
+        dec_params = _rand_tree(dec, (jnp.zeros((1, 8, 8, 4)),), jnp.float32,
+                                seed=2)
 
     pipe = StableDiffusionPipeline(
         tokenizer=CLIPTokenizer.from_pretrained_dir(tokdir),
@@ -261,6 +280,85 @@ def bench_deepcache(run_once, headline: float) -> dict:
                        for i in range(3)])
         out[f"deepcache{n}_iter_s"] = round(STEPS / e2e, 3)
         out[f"deepcache{n}_speedup"] = round((STEPS / e2e) / headline, 2)
+    return out
+
+
+def bench_deepcache_quality(parts) -> dict:
+    """DeepCache signal integrity (VERDICT r4 #1): fixed-seed denoised-
+    latent PSNR and decoded-image PSNR of each interval vs the exact run,
+    SD 512x512, 20 steps DPM++ — the reference's measure-every-
+    approximation discipline (README.md:212-235 publishes a PSNR table for
+    every lossy variant; conversion gates >=35 dB, torch2coreml.py:77-97).
+
+    Unlike the speed rig (0.02-scale random weights, near-zero eps), this
+    builds variance-preserving flax-init weights so the UNet's output
+    magnitude is O(input) like a trained model — a 0.02-scale net predicts
+    ~zero noise and inflates the PSNR to meaninglessness (tiny-pipe probe:
+    140 dB).  Caveat (documented in README): this host has no network, so
+    the number quantifies trajectory divergence from cross-step deep-
+    feature reuse through the real pipeline scan on a random FUNCTION of
+    realistic magnitude — re-measure against a real checkpoint before
+    relying on an interval in production."""
+    from ml_stable_diffusion_tpu.convert.report import compute_psnr
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+
+    pipe = build_pipeline_rig(parts, quality_init=True)[0]
+
+    def run(interval):
+        cfg = PipelineConfiguration(
+            prompt=PROMPTS[0], step_count=STEPS, guidance_scale=GUIDANCE,
+            seed=4242, disable_safety=True, scheduler="DPMSolverMultistep",
+            deepcache_interval=interval)
+        r = pipe.generate_images(cfg, image_hw=(512, 512))
+        return (np.asarray(r.latents, np.float32),
+                np.asarray(r.images[0], np.float32))
+
+    ref_lat, ref_img = run(1)
+    out = {}
+    for n in (2, 3, 4):
+        lat, img = run(n)
+        out[f"deepcache{n}_psnr_db"] = round(compute_psnr(ref_lat, lat), 1)
+        out[f"deepcache{n}_img_psnr_db"] = round(compute_psnr(ref_img, img),
+                                                 1)
+    return out
+
+
+def bench_sdxl_deepcache_quality() -> dict:
+    """SDXL 1024x1024 DeepCache signal integrity + speed through the real
+    SDXL pipeline (same protocol/caveat as bench_deepcache_quality)."""
+    import bench_sdxl
+
+    pipe = bench_sdxl.build_pipeline_rig()
+    from ml_stable_diffusion_tpu.convert.report import compute_psnr
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+
+    def run(interval, seed=4242, prompt=None):
+        cfg = PipelineConfiguration(
+            prompt=prompt or PROMPTS[0], step_count=STEPS,
+            guidance_scale=5.0, seed=seed, disable_safety=True,
+            scheduler="DPMSolverMultistep", deepcache_interval=interval)
+        t0 = time.perf_counter()
+        r = pipe.generate_images(cfg, image_hw=(1024, 1024))
+        return (time.perf_counter() - t0,
+                np.asarray(r.latents, np.float32),
+                np.asarray(r.images[0], np.float32))
+
+    _, ref_lat, ref_img = run(1)
+    out = {}
+    for n in (2, 3):
+        run(n)  # warmup/compile
+        times = []
+        for i in range(2):
+            dt, lat, img = run(n, seed=5000 + 10 * n + i,
+                               prompt=PROMPTS[(n + i) % len(PROMPTS)])
+            times.append(dt)
+        # PSNR at the shared fixed seed
+        _, lat, img = run(n)
+        out[f"sdxl_deepcache{n}_psnr_db"] = round(
+            compute_psnr(ref_lat, lat), 1)
+        out[f"sdxl_deepcache{n}_img_psnr_db"] = round(
+            compute_psnr(ref_img, img), 1)
+        out[f"sdxl_deepcache{n}_e2e_s"] = round(_median(times), 3)
     return out
 
 
@@ -363,6 +461,67 @@ def bench_batch(parts, single_iter_s: float, n: int) -> dict:
     }
 
 
+def bench_serve_preset(parts) -> dict:
+    """Max-throughput serving preset (VERDICT r4 #3): do the individually
+    measured wins STACK?  Composes W8A8 dense int8 (62.4 iter/s r4) +
+    DeepCache-3 (1.48x r4) + dynamic batching into one GenerationServer
+    preset and reports sustained images/s/chip through the real submit()
+    path (batch window + threading + program-cache included).  Also
+    re-checks the batch saturation point at the preset's shapes (r4 weak
+    #6: max_batch=4 was keyed to one dense-bf16 measurement).
+
+    Two presets: quality (20-step DPM++, CFG) and turbo (LCM 4-step,
+    guidance-free), the production pairing for each latency class."""
+    import dataclasses as _dc
+
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+    from ml_stable_diffusion_tpu.serving import GenerationServer, ServeConfig
+
+    pipe, _ = build_pipeline_rig(parts)
+    pipe.enable_w8a8()  # dense-only int8: the measured-fastest serving mode
+
+    out = {}
+
+    def sustained(sc: ServeConfig, max_batch: int, n_requests: int,
+                  seed0: int) -> float:
+        server = GenerationServer(pipe, configs=[sc], max_batch=max_batch,
+                                  batch_window_s=0.05)
+        try:
+            server.precompile(batch_sizes=(max_batch,))
+            base = PipelineConfiguration(
+                prompt="warm", seed=seed0, step_count=sc.step_count,
+                scheduler=sc.scheduler, guidance_scale=sc.guidance_scale,
+                disable_safety=True,
+                deepcache_interval=sc.deepcache_interval)
+            t0 = time.perf_counter()
+            futs = [server.submit(_dc.replace(
+                base, prompt=PROMPTS[i % len(PROMPTS)], seed=seed0 + i),
+                image_hw=sc.image_hw) for i in range(n_requests)]
+            for f in futs:
+                f.result()
+            return n_requests / (time.perf_counter() - t0)
+        finally:
+            server.shutdown()
+
+    quality = ServeConfig(step_count=STEPS, scheduler="DPMSolverMultistep",
+                          guidance_scale=GUIDANCE, deepcache_interval=3)
+    for mb in (4, 8):
+        ips = sustained(quality, mb, 2 * mb, 7000 + 100 * mb)
+        out[f"serve_preset_b{mb}_images_per_s"] = round(ips, 2)
+    out["serve_preset_images_per_s"] = max(
+        out["serve_preset_b4_images_per_s"],
+        out["serve_preset_b8_images_per_s"])
+
+    turbo = ServeConfig(step_count=4, scheduler="LCM", guidance_scale=1.0)
+    for mb in (4, 8):
+        ips = sustained(turbo, mb, 3 * mb, 9000 + 100 * mb)
+        out[f"serve_turbo_b{mb}_images_per_s"] = round(ips, 2)
+    out["serve_turbo_images_per_s"] = max(
+        out["serve_turbo_b4_images_per_s"],
+        out["serve_turbo_b8_images_per_s"])
+    return out
+
+
 def bench_tunnel_sanity(parts) -> dict:
     """Self-check of the axon-tunnel measurement caveats (CLAUDE.md): the
     tunnel may REPLAY results for identical (executable, args) requests,
@@ -423,6 +582,22 @@ def bench_sdxl768_extra() -> dict:
                 bench_sdxl.BASELINE_768_E2E_S / best, 2)}
 
 
+def bench_cold_start_extra() -> dict:
+    """Cold/warm start (VERDICT r4 #8): time-to-first-image from process
+    start via fresh subprocesses (bench_cold_start.py).  The cold run pays
+    the full XLA compile through the tunnel (minutes), so it only runs
+    when at least half the wall budget remains — the warm number (the
+    fleet-serving metric: images ship with a warmed cache) always runs."""
+    import bench_cold_start
+
+    include_cold = _elapsed() < 0.5 * BUDGET_S
+    out = bench_cold_start.run(include_cold=include_cold,
+                               timeout_s=max(BUDGET_S, 3600.0))
+    if not include_cold:
+        out["cold_start_skipped"] = "budget"
+    return out
+
+
 def bench_sd3_extra() -> dict:
     import bench_sd3
 
@@ -432,6 +607,55 @@ def bench_sd3_extra() -> dict:
     t5_s = bench_sd3.run_t5_encode()
     out["sd3_t5_xxl_encode_s"] = round(t5_s, 3)
     out["sd3_1024_e2e_with_t5_s"] = round(out["sd3_1024_e2e_s"] + t5_s, 3)
+    return out
+
+
+def _prev_artifact() -> dict | None:
+    """Newest committed BENCH_rNN.json (driver format: headline under
+    'parsed') — the regression baseline.  Returns its parsed payload."""
+    import glob
+    import pathlib
+
+    here = pathlib.Path(__file__).resolve().parent
+    best = None
+    for p in sorted(glob.glob(str(here / "BENCH_r*.json"))):
+        try:
+            rec = json.loads(pathlib.Path(p).read_text())
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if isinstance(parsed, dict) and "value" in parsed:
+            best = (p, parsed)
+    return best
+
+
+def regression_guard(headline: float, extra: dict) -> dict:
+    """Regression guard (VERDICT r4 #7): compare this run's headline (and
+    comparable extras) to the newest committed BENCH artifact.  Headline
+    runs vary ±5% through the tunnel (CLAUDE.md); warn beyond 5%+noise."""
+    prev = _prev_artifact()
+    if prev is None:
+        return {}
+    path, parsed = prev
+    out = {"prev_artifact": path.rsplit("/", 1)[-1]}
+    pv = float(parsed["value"])
+    if pv > 0:
+        ratio = headline / pv
+        out["headline_vs_prev"] = round(ratio, 3)
+        if ratio < 0.90:  # 5% regression + 5% tunnel noise
+            print(f"WARNING: headline {headline:.2f} is "
+                  f"{(1 - ratio) * 100:.1f}% below {out['prev_artifact']} "
+                  f"({pv:.2f}) — beyond tunnel noise", flush=True)
+    prev_extra = parsed.get("extra") or {}
+    deltas = {}
+    for k, v in prev_extra.items():
+        if k in extra and isinstance(v, (int, float)) and v:
+            try:
+                deltas[k] = round(float(extra[k]) / float(v), 3)
+            except (TypeError, ValueError, ZeroDivisionError):
+                pass
+    if deltas:
+        out["extras_vs_prev"] = deltas
     return out
 
 
@@ -478,18 +702,22 @@ def main():
             ("sd3", bench_sd3_extra),
             ("w8a8", bench_w8a8_extra),
             ("deepcache", lambda: bench_deepcache(run_once, headline)),
+            ("deepcache_quality", lambda: bench_deepcache_quality(parts)),
             ("lcm", lambda: bench_lcm(run_once)),
             ("lcm_batch8", lambda: bench_lcm_batched(run_once)),
             ("batch4", lambda: bench_batch(parts, headline, 4)),
             ("batch8", lambda: bench_batch(parts, headline, 8)),
+            ("serve_preset", lambda: bench_serve_preset(parts)),
+            ("cold_start", bench_cold_start_extra),
             ("pipeline_slope", lambda: bench_pipeline_slope(run_once)),
             ("sdxl768", bench_sdxl768_extra),
+            ("sdxl_deepcache_quality", bench_sdxl_deepcache_quality),
             ("palettized6", lambda: bench_palettized6(parts)),
         ]
         if run_once is None:
             extras = [(n, f) for n, f in extras
                       if n not in ("lcm", "lcm_batch8", "pipeline_slope",
-                                   "deepcache")]
+                                   "deepcache", "deepcache_quality")]
 
     skipped = []
     for name, fn in extras:
@@ -503,6 +731,11 @@ def main():
     if skipped:
         extra["skipped_extras"] = skipped
         extra["budget_s"] = BUDGET_S
+
+    try:
+        extra.update(regression_guard(headline, extra))
+    except Exception as e:
+        extra["regression_guard_error"] = f"{type(e).__name__}: {e}"[:200]
 
     payload["extra"] = extra
     print(json.dumps(payload), flush=True)

@@ -113,6 +113,65 @@ def run(image_size: int = 1024) -> float:
     return min(times)
 
 
+def _init_tree(model, *args, dtype=jnp.bfloat16, seed=0, **kwargs):
+    """Variance-preserving flax init (jitted — eager init compiles per-op
+    through the tunnel), cast to ``dtype``: the signal-integrity extra
+    needs O(input) output magnitudes; 0.02-scale random weights predict
+    ~zero noise and inflate every PSNR."""
+    return jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(dtype),
+        model.init(k, *args, **kwargs)["params"]))(jax.random.key(seed))
+
+
+def build_pipeline_rig():
+    """Real StableDiffusionXLPipeline with SDXL-dimension flax-init weights
+    (non-degenerate, unlike run()'s zeros: the DeepCache signal-integrity
+    extra measures trajectory divergence of a realistic-magnitude net)."""
+    import json as _json
+    import pathlib
+    import tempfile
+
+    from ml_stable_diffusion_tpu.pipelines.sdxl import (
+        StableDiffusionXLPipeline,
+    )
+    from ml_stable_diffusion_tpu.tokenizer import CLIPTokenizer
+
+    def tiny_tokenizer():
+        tokdir = pathlib.Path(tempfile.mkdtemp())
+        vocab = {}
+        for ch in "abcdefghijklmnopqrstuvwxyz!":
+            vocab[ch] = len(vocab)
+            vocab[ch + "</w>"] = len(vocab)
+        vocab["<|startoftext|>"] = 49406
+        vocab["<|endoftext|>"] = 49407
+        (tokdir / "vocab.json").write_text(_json.dumps(vocab))
+        (tokdir / "merges.txt").write_text("#version: 0.2\n")
+        return CLIPTokenizer.from_pretrained_dir(tokdir)
+
+    ucfg = UNetConfig.sdxl()
+    unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
+    added = {"text_embeds": jnp.zeros((2, 1280), jnp.float32),
+             "time_ids": jnp.zeros((2, 6), jnp.float32)}
+    uparams = _init_tree(unet, jnp.zeros((2, 32, 32, 4)), jnp.zeros((2,)),
+                         jnp.zeros((2, 77, 2048)), added_cond=added)
+
+    te1 = CLIPTextEncoder(CLIPTextConfig.sd1(), dtype=jnp.bfloat16)
+    te1_params = _init_tree(te1, jnp.zeros((1, 77), jnp.int32),
+                            dtype=jnp.float32, seed=1)
+    te2 = CLIPTextEncoder(CLIPTextConfig.sdxl_g(), dtype=jnp.bfloat16)
+    te2_params = _init_tree(te2, jnp.zeros((1, 77), jnp.int32),
+                            dtype=jnp.float32, seed=2)
+
+    vae = VAEDecoder(VAEConfig.sd(), dtype=jnp.bfloat16)
+    vparams = _init_tree(vae, jnp.zeros((1, 8, 8, 4)), dtype=jnp.float32,
+                         seed=3)
+
+    return StableDiffusionXLPipeline(
+        tokenizer=tiny_tokenizer(), tokenizer2=tiny_tokenizer(),
+        text_encoder=(te1, te1_params), text_encoder2=(te2, te2_params),
+        unet=(unet, uparams), vae_decoder=(vae, vparams))
+
+
 def main():
     best = run()
     print(json.dumps({

@@ -276,3 +276,60 @@ def test_sharded_sdxl_pipeline_generate_matches_single_device(tmp_path):
     pipe.shard(make_mesh(4, dp=1))
     out = pipe.generate_images(gen, image_hw=(64, 64)).latents
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_sd3_pipeline_generate_matches_single_device(tmp_path):
+    """SD3 family under GSPMD (VERDICT r4 #5): triple-encoder concat +
+    context zero-pad + pooled concat, 16-ch VAE, flow scheduler — the full
+    end-to-end program runs under the mesh and reproduces single-device
+    latents (previously only the TP MMDiT/T5 *forwards* were exercised)."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer
+    from ml_stable_diffusion_tpu.models.mmdit import MMDiT, MMDiTConfig
+    from ml_stable_diffusion_tpu.models.t5 import T5Config, T5Encoder
+    from ml_stable_diffusion_tpu.models.vae import VAEConfig, VAEDecoder
+    from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
+    from ml_stable_diffusion_tpu.pipelines.sd3 import StableDiffusion3Pipeline
+
+    class _T5Tok:
+        def tokenize(self, text, max_length=8):
+            ids = [(ord(c) % 90) + 3 for c in text][: max_length - 1] + [1]
+            mask = [1] * len(ids) + [0] * (max_length - len(ids))
+            return (np.asarray(ids + [0] * (max_length - len(ids)),
+                               np.int32), np.asarray(mask, np.int32))
+
+    # context = concat(CLIP hidden 48+48) zero-padded to 128 = T5 d_model
+    te = tiny_text_encoder(use_projection=True)
+    v16 = VAEConfig(block_out_channels=(8, 8, 8, 8), layers_per_block=1,
+                    norm_num_groups=4, latent_channels=16,
+                    use_quant_conv=False)
+    dec16 = VAEDecoder(v16)
+    dec16_params = jax.jit(dec16.init)(
+        jax.random.key(6), jnp.zeros((1, 8, 8, 16)))["params"]
+    proj_dim = te[0].config.projection_dim
+    mcfg = MMDiTConfig(patch_size=2, in_channels=16, out_channels=16,
+                       depth=2, hidden_size=32, num_heads=4,
+                       context_dim=128, pooled_dim=2 * proj_dim,
+                       pos_embed_max_size=8)
+    mm = MMDiT(mcfg)
+    mm_params = jax.jit(mm.init)(
+        jax.random.key(7), jnp.zeros((1, 8, 8, 16)), jnp.zeros((1,)),
+        jnp.zeros((1, 10, 128)), jnp.zeros((1, 2 * proj_dim)))["params"]
+    t5 = T5Encoder(T5Config(vocab_size=96, d_model=128, d_kv=8, d_ff=64,
+                            num_layers=2, num_heads=4))
+    t5_params = jax.jit(t5.init)(
+        jax.random.key(8), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32))["params"]
+    pipe = StableDiffusion3Pipeline(
+        tokenizer=tiny_tokenizer(tmp_path), tokenizer2=tiny_tokenizer(tmp_path),
+        t5_tokenizer=_T5Tok(), text_encoder=te, text_encoder2=te,
+        t5_encoder=(t5, t5_params), mmdit=(mm, mm_params),
+        vae_decoder=(dec16, dec16_params), t5_sequence_length=8)
+    gen = PipelineConfiguration(prompt="a fox", step_count=2, seed=9,
+                                disable_safety=True)
+    ref = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    pipe.shard(make_mesh(4, dp=1))
+    out = pipe.generate_images(gen, image_hw=(64, 64)).latents
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

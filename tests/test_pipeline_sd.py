@@ -227,6 +227,14 @@ def test_deepcache(pipe):
                              progress_handler=lambda p: True, image_hw=HW)
     with pytest.raises(ValueError, match="deepcache_interval"):
         pipe.generate_images(_cfg(deepcache_interval=0), image_hw=HW)
+    # interval >= step_count degenerates to one full pass + all-shallow
+    # steps on a stale deep feature — rejected, not silently degraded
+    with pytest.raises(ValueError, match="must be < step_count"):
+        pipe.generate_images(_cfg(step_count=3, deepcache_interval=3),
+                             image_hw=HW)
+    with pytest.raises(ValueError, match="must be < step_count"):
+        pipe.generate_images(_cfg(step_count=2, deepcache_interval=5),
+                             image_hw=HW)
 
 
 def test_deepcache_reduce_memory_matches_full_program(pipe):

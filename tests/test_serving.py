@@ -188,3 +188,40 @@ def test_lcm_dynamic_batching_production_config(tmp_path):
     direct = pipe.generate_images(cfg("a dog", 12), image_hw=(64, 64))
     np.testing.assert_allclose(results[1].latents, direct.latents, atol=2e-4)
     server.shutdown()
+
+
+def test_serve_preset_w8a8_deepcache_batching_compose(tmp_path):
+    """The max-throughput serving preset (bench.py bench_serve_preset):
+    W8A8 int8 serving + DeepCache interval + dynamic batching all trace
+    into ONE merged program and match... themselves deterministically per
+    seed, with per-request results finite and batch-coalesced."""
+    pipe = _tiny_pipe(tmp_path)
+    pipe.enable_w8a8(min_size=1)  # quantize even tiny layers in this fixture
+    sc = ServeConfig(image_hw=(64, 64), step_count=4, scheduler="DDIM",
+                     deepcache_interval=2)
+    server = GenerationServer(pipe, [sc], max_batch=4, batch_window_s=0.2)
+    try:
+        server.precompile(batch_sizes=(4,))
+
+        def cfg(seed, prompt):
+            return PipelineConfiguration(
+                prompt=prompt, seed=seed, step_count=4, scheduler="DDIM",
+                deepcache_interval=2, disable_safety=True)
+
+        futs = [server.submit(cfg(10 + i, p), image_hw=(64, 64))
+                for i, p in enumerate(["a cat", "a dog", "a fox", "a bee"])]
+        results = [f.result(timeout=300) for f in futs]
+        for r in results:
+            assert np.isfinite(r.latents).all()
+        assert server.batches_run >= 1  # actually coalesced
+
+        # per-seed reproducibility through the composed path: resubmitting
+        # the same request reproduces its latents (the lone resubmission
+        # runs as a batch-1 program, so XLA batch-dependent fusion allows
+        # float-level differences vs the merged batch-4 program)
+        again = server.submit(cfg(10, "a cat"), image_hw=(64, 64)).result(
+            timeout=300)
+        np.testing.assert_allclose(again.latents, results[0].latents,
+                                   rtol=1e-3, atol=1e-3)
+    finally:
+        server.shutdown()
