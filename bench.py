@@ -69,6 +69,8 @@ def _sd21_parts():
         cfg = dataclasses.replace(cfg, fast_gelu=True)
     if os.environ.get("SDTPU_PARITY_UPSAMPLE") == "1":
         cfg = dataclasses.replace(cfg, parity_upsample=True)
+    if os.environ.get("SDTPU_FUSED_UPSAMPLE") == "1":
+        cfg = dataclasses.replace(cfg, fused_upsample=True)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8

@@ -38,11 +38,25 @@ def _random_params(model, *args, dtype=jnp.bfloat16):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
 
 
-def run(image_size: int = 1024) -> float:
-    """-> best e2e seconds (importable from bench.py for the driver run)."""
+def run(image_size: int = 1024, parity_upsample: bool | None = None) -> float:
+    """-> best e2e seconds (importable from bench.py for the driver run).
+
+    ``parity_upsample`` (default: env SDTPU_PARITY_UPSAMPLE) computes every
+    NN-upsample+conv3x3 (UNet up path + VAE decoder upsamplers) as four
+    2x2 parity convs — 4/9 the FLOPs, no 2x-res intermediate."""
+    import dataclasses
+    import os
+
+    if parity_upsample is None:
+        parity_upsample = os.environ.get("SDTPU_PARITY_UPSAMPLE") == "1"
+    fused_upsample = os.environ.get("SDTPU_FUSED_UPSAMPLE") == "1"
     h = w = image_size // 8
 
     ucfg = UNetConfig.sdxl()
+    if parity_upsample:
+        ucfg = dataclasses.replace(ucfg, parity_upsample=True)
+    if fused_upsample:
+        ucfg = dataclasses.replace(ucfg, fused_upsample=True)
     unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
     added = {"text_embeds": jnp.zeros((2, 1280), jnp.float32),
              "time_ids": jnp.zeros((2, 6), jnp.float32)}
@@ -58,7 +72,9 @@ def run(image_size: int = 1024) -> float:
     te2_params = _random_params(te2, jnp.zeros((2, 77), jnp.int32))
 
     vcfg = VAEConfig.sd()
-    vae = VAEDecoder(vcfg, dtype=jnp.bfloat16)
+    vae = VAEDecoder(vcfg, dtype=jnp.bfloat16,
+                     parity_upsample=parity_upsample,
+                     fused_upsample=fused_upsample)
     vparams = _random_params(vae, jnp.zeros((1, h, w, 4)))
 
     sched = DPMSolverMultistepScheduler()

@@ -80,8 +80,13 @@ class UNetConfig:
     fast_gelu: bool = False
     #: serve-time optimization: upsampler NN-2x+conv3x3 computed as four
     #: parity-aligned 2x2 convs (4/9 the FLOPs, no 2x-res intermediate);
-    #: numerics identical — see models/vae.py ParityUpsampleConv
+    #: numerics identical — see models/vae.py ParityUpsampleConv.
+    #: MEASURED LOSER at 1024^2 VAE decode (XLA-level interleave costs more
+    #: than the repeat it saves) — prefer fused_upsample
     parity_upsample: bool = False
+    #: upsamplers as ONE lhs-dilated conv (models/vae.py FusedUpsampleConv):
+    #: the measured winner at 1024^2 VAE decode (87.8 -> 69.3 ms, r5)
+    fused_upsample: bool = False
 
     @classmethod
     def sd15(cls) -> "UNetConfig":
@@ -408,9 +413,17 @@ class Upsample2D(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     parity: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused:
+            # one lhs-dilated conv; the measured winner at 1024^2 decode
+            # (87.8 -> 69.3 ms, models/vae.py FusedUpsampleConv docstring)
+            from .vae import FusedUpsampleConv
+
+            return FusedUpsampleConv(self.channels, dtype=self.dtype,
+                                     name="conv")(x)
         if self.parity:
             from .vae import ParityUpsampleConv
 
@@ -593,6 +606,7 @@ class UNet2DConditionModel(nn.Module):
             if not is_final:
                 h = Upsample2D(out_ch, dtype=self.dtype,
                                parity=cfg.parity_upsample,
+                               fused=cfg.fused_upsample,
                                name=f"up_blocks_{bi}_upsamplers_0")(h)
 
         # --- out ---

@@ -213,6 +213,58 @@ class ParityUpsampleConv(nn.Module):
         return out.reshape(B, 2 * H, 2 * W_, O)
 
 
+class FusedUpsampleConv(nn.Module):
+    """2x nearest-neighbor upsample + 3x3 SAME conv as ONE lhs-dilated
+    (transposed) conv.
+
+    Identity: NN2x = conv_transpose(x, ones(2,2), stride 2), so
+    conv3x3(NN2x(x)) = one conv with kernel K4 = W full-correlated with
+    ones(2,2) per spatial axis (K4[u] = W[u] + W[u-1], u in 0..3), over the
+    2x-lhs-dilated input with padding (2,2) — output phases are interleaved
+    by the conv emitter itself.  This is the follow-up to the two measured
+    1024^2-decode ablations (r5): plain repeat+conv costs 7.7 ms in the
+    repeat broadcast (vae.py:248 attribution); ParityUpsampleConv removes
+    it but its XLA-level stack/reshape interleave explodes data-formatting
+    5.6 -> 23.4 ms (decode 87.8 -> 109.1 ms).  Here the interleave is the
+    emitter's job and no 2x-res pre-conv intermediate exists.
+
+    Param structure matches ``nn.Conv`` (kernel (3,3,C,O) HWIO + bias), so
+    checkpoints port/load unchanged.
+    """
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        B, H, W_, C = x.shape
+        O = self.out_channels
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, O),
+            jnp.float32).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (O,),
+                          jnp.float32).astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        def corr_ones2(k, axis):
+            pad_hi = [(0, 0)] * 4
+            pad_lo = [(0, 0)] * 4
+            pad_hi[axis] = (0, 1)
+            pad_lo[axis] = (1, 0)
+            return jnp.pad(k, pad_hi) + jnp.pad(k, pad_lo)
+
+        k4 = corr_ones2(corr_ones2(kernel, 0), 1)  # (4, 4, C, O)
+        dn = jax.lax.conv_dimension_numbers(x.shape, (4, 4, C, O),
+                                            ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=dn,
+            preferred_element_type=self.dtype)
+        return out + bias
+
+
 class VAEDecoder(nn.Module):
     """latents -> image in [-1, 1]."""
 
@@ -221,6 +273,8 @@ class VAEDecoder(nn.Module):
     #: compute upsampler convs via the parity decomposition (4/9 FLOPs,
     #: no 2x-res intermediate); numerics identical to repeat+conv
     parity_upsample: bool = False
+    #: compute upsampler convs as one lhs-dilated conv (FusedUpsampleConv)
+    fused_upsample: bool = False
 
     @nn.compact
     def __call__(self, z):
@@ -241,7 +295,10 @@ class VAEDecoder(nn.Module):
                                    name=f"up_blocks_{bi}_resnets_{li}")(h)
             if bi < len(rev) - 1:
                 name = f"up_blocks_{bi}_upsamplers_0_conv"
-                if self.parity_upsample:
+                if self.fused_upsample:
+                    h = FusedUpsampleConv(out_ch, dtype=self.dtype,
+                                          name=name)(h)
+                elif self.parity_upsample:
                     h = ParityUpsampleConv(out_ch, dtype=self.dtype,
                                            name=name)(h)
                 else:

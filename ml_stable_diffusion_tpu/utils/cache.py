@@ -36,4 +36,8 @@ def enable_persistent_cache(path: str | None = None) -> str:
     # default floor is 1s of compile time; tunnel round trips make even tiny
     # programs worth caching
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if os.environ.get("SDTPU_EXPLAIN_CACHE_MISSES") == "1":
+        # diagnose WHY a program recompiled (the cache key canonicalizes
+        # away source locations, so a miss means real HLO/option drift)
+        jax.config.update("jax_explain_cache_misses", True)
     return path

@@ -521,3 +521,28 @@ def test_deep_feature_oracle_bit_identity():
         {"params": p}, *a, deep_feature=f))(params, feat, x, t, ctx)
     np.testing.assert_array_equal(np.asarray(eps_shallow),
                                   np.asarray(eps_full))
+
+
+def test_unet_fused_upsample_matches_repeat_conv():
+    """UNetConfig.fused_upsample computes upsampler convs as one
+    lhs-dilated conv (the measured 1024^2-decode winner, models/vae.py
+    FusedUpsampleConv) — identical param tree, same output."""
+    import dataclasses
+
+    from helpers import tiny_unet
+
+    model, params = tiny_unet()
+    fast = UNet2DConditionModel(
+        dataclasses.replace(model.config, fused_upsample=True))
+    sample = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 4),
+                         np.float32)
+    t = jnp.full((2,), 400.0)
+    ctx = jnp.asarray(
+        np.random.RandomState(3).randn(
+            2, 77, model.config.cross_attention_dim), np.float32)
+    ref = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+        params, sample, t, ctx)
+    out = jax.jit(lambda p, *a: fast.apply({"params": p}, *a))(
+        params, sample, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -210,3 +210,20 @@ def test_parity_upsample_matches_repeat_conv():
     assert out.shape == ref.shape == (2, 48, 40, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_upsample_matches_repeat_conv():
+    """FusedUpsampleConv (one lhs-dilated conv with the W*ones(2,2)
+    composed 4x4 kernel) is the same function as repeat(2,2) + SAME
+    conv3x3 — identical param tree, identical output, odd dims included."""
+    cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                    norm_num_groups=4)
+    dec = VAEDecoder(cfg)
+    fast = VAEDecoder(cfg, fused_upsample=True)
+    z = jnp.asarray(np.random.RandomState(1).randn(2, 6, 5, 4), np.float32)
+    params = jax.jit(dec.init)(jax.random.key(0), z)["params"]
+    ref = jax.jit(lambda p, z: dec.apply({"params": p}, z))(params, z)
+    out = jax.jit(lambda p, z: fast.apply({"params": p}, z))(params, z)
+    assert out.shape == ref.shape == (2, 48, 40, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
