@@ -69,8 +69,8 @@ def _sd21_parts():
         cfg = dataclasses.replace(cfg, fast_gelu=True)
     if os.environ.get("SDTPU_PARITY_UPSAMPLE") == "1":
         cfg = dataclasses.replace(cfg, parity_upsample=True)
-    if os.environ.get("SDTPU_FUSED_UPSAMPLE") == "1":
-        cfg = dataclasses.replace(cfg, fused_upsample=True)
+    if os.environ.get("SDTPU_FUSED_UPSAMPLE") == "0":  # default ON (r5)
+        cfg = dataclasses.replace(cfg, fused_upsample=False)
     model = UNet2DConditionModel(cfg, dtype=jnp.bfloat16)
 
     h = w = 64  # 512 / 8

@@ -49,14 +49,15 @@ def run(image_size: int = 1024, parity_upsample: bool | None = None) -> float:
 
     if parity_upsample is None:
         parity_upsample = os.environ.get("SDTPU_PARITY_UPSAMPLE") == "1"
-    fused_upsample = os.environ.get("SDTPU_FUSED_UPSAMPLE") == "1"
+    # fused upsamplers are the config default (r5); "0" opts out
+    fused_upsample = os.environ.get("SDTPU_FUSED_UPSAMPLE", "1") != "0"
     h = w = image_size // 8
 
     ucfg = UNetConfig.sdxl()
     if parity_upsample:
         ucfg = dataclasses.replace(ucfg, parity_upsample=True)
-    if fused_upsample:
-        ucfg = dataclasses.replace(ucfg, fused_upsample=True)
+    if not fused_upsample:
+        ucfg = dataclasses.replace(ucfg, fused_upsample=False)
     unet = UNet2DConditionModel(ucfg, dtype=jnp.bfloat16)
     added = {"text_embeds": jnp.zeros((2, 1280), jnp.float32),
              "time_ids": jnp.zeros((2, 6), jnp.float32)}

@@ -85,8 +85,10 @@ class UNetConfig:
     #: than the repeat it saves) — prefer fused_upsample
     parity_upsample: bool = False
     #: upsamplers as ONE lhs-dilated conv (models/vae.py FusedUpsampleConv):
-    #: the measured winner at 1024^2 VAE decode (87.8 -> 69.3 ms, r5)
-    fused_upsample: bool = False
+    #: the measured winner at 1024^2 VAE decode (87.8 -> 69.3 ms) and SDXL
+    #: 1024 e2e (2.285 -> 2.244 s); SD-512 headline neutral (57.25 vs
+    #: 57.36, r5).  Exact same function/params as repeat+conv — DEFAULT ON
+    fused_upsample: bool = True
 
     @classmethod
     def sd15(cls) -> "UNetConfig":

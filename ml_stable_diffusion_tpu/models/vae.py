@@ -273,8 +273,10 @@ class VAEDecoder(nn.Module):
     #: compute upsampler convs via the parity decomposition (4/9 FLOPs,
     #: no 2x-res intermediate); numerics identical to repeat+conv
     parity_upsample: bool = False
-    #: compute upsampler convs as one lhs-dilated conv (FusedUpsampleConv)
-    fused_upsample: bool = False
+    #: compute upsampler convs as one lhs-dilated conv (FusedUpsampleConv):
+    #: the measured winner at 1024^2 decode (87.8 -> 69.3 ms, r5); exact
+    #: same function/params as repeat+conv — DEFAULT ON
+    fused_upsample: bool = True
 
     @nn.compact
     def __call__(self, z):

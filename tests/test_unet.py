@@ -482,15 +482,18 @@ def test_unet_parity_upsample_matches_repeat_conv():
     from helpers import tiny_unet
 
     model, params = tiny_unet()
+    ref_model = UNet2DConditionModel(
+        dataclasses.replace(model.config, fused_upsample=False))
     fast = UNet2DConditionModel(
-        dataclasses.replace(model.config, parity_upsample=True))
+        dataclasses.replace(model.config, parity_upsample=True,
+                            fused_upsample=False))
     sample = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 4),
                          np.float32)
     t = jnp.full((2,), 500.0)
     ctx = jnp.asarray(
         np.random.RandomState(1).randn(
             2, 77, model.config.cross_attention_dim), np.float32)
-    ref = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+    ref = jax.jit(lambda p, *a: ref_model.apply({"params": p}, *a))(
         params, sample, t, ctx)
     out = jax.jit(lambda p, *a: fast.apply({"params": p}, *a))(
         params, sample, t, ctx)
@@ -532,6 +535,8 @@ def test_unet_fused_upsample_matches_repeat_conv():
     from helpers import tiny_unet
 
     model, params = tiny_unet()
+    ref_model = UNet2DConditionModel(
+        dataclasses.replace(model.config, fused_upsample=False))
     fast = UNet2DConditionModel(
         dataclasses.replace(model.config, fused_upsample=True))
     sample = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 4),
@@ -540,7 +545,7 @@ def test_unet_fused_upsample_matches_repeat_conv():
     ctx = jnp.asarray(
         np.random.RandomState(3).randn(
             2, 77, model.config.cross_attention_dim), np.float32)
-    ref = jax.jit(lambda p, *a: model.apply({"params": p}, *a))(
+    ref = jax.jit(lambda p, *a: ref_model.apply({"params": p}, *a))(
         params, sample, t, ctx)
     out = jax.jit(lambda p, *a: fast.apply({"params": p}, *a))(
         params, sample, t, ctx)

@@ -201,8 +201,8 @@ def test_parity_upsample_matches_repeat_conv():
     tree, identical output, including odd spatial dims (edge-pad taps)."""
     cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                     norm_num_groups=4)
-    dec = VAEDecoder(cfg)
-    fast = VAEDecoder(cfg, parity_upsample=True)
+    dec = VAEDecoder(cfg, fused_upsample=False)  # explicit repeat+conv ref
+    fast = VAEDecoder(cfg, parity_upsample=True, fused_upsample=False)
     z = jnp.asarray(np.random.RandomState(0).randn(2, 6, 5, 4), np.float32)
     params = jax.jit(dec.init)(jax.random.key(0), z)["params"]
     ref = jax.jit(lambda p, z: dec.apply({"params": p}, z))(params, z)
@@ -218,7 +218,7 @@ def test_fused_upsample_matches_repeat_conv():
     conv3x3 — identical param tree, identical output, odd dims included."""
     cfg = VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
                     norm_num_groups=4)
-    dec = VAEDecoder(cfg)
+    dec = VAEDecoder(cfg, fused_upsample=False)  # explicit repeat+conv ref
     fast = VAEDecoder(cfg, fused_upsample=True)
     z = jnp.asarray(np.random.RandomState(1).randn(2, 6, 5, 4), np.float32)
     params = jax.jit(dec.init)(jax.random.key(0), z)["params"]
