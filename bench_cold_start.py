@@ -41,9 +41,9 @@ def ensure_artifacts() -> pathlib.Path:
         return ARTIFACT_DIR
     import jax
 
-    from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
+    # the parent must NOT claim the TPU: the axon tunnel is single-client
+    # and the measured children need it — generate the bundle on CPU
+    jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -162,9 +162,13 @@ def run(include_cold: bool = True, timeout_s: float = 3600.0) -> dict:
 
 
 def main():
-    print(json.dumps({
-        "metric": "SD-2.1 512x512 time-to-first-image from process start",
-        **run()}))
+    out = {"metric": "SD-2.1 512x512 time-to-first-image from process start",
+           **run()}
+    print(json.dumps(out))
+    # record for bench.py's budget-skipped fallback (committed artifact)
+    out["recorded_by"] = "builder standalone bench_cold_start.py"
+    (REPO / "bench_coldstart_recorded.json").write_text(
+        json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 import jax.numpy as jnp
+import numpy as np
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
@@ -33,6 +34,13 @@ STEPS = 20
 GUIDANCE = 4.5
 T5_LEN = 77  # zero block: context = 77 CLIP + 77 T5 positions (:224-240)
 BASELINE_E2E_S = 90.0  # reference harness latency gate; no published SD3 numbers
+
+
+def _sync(x):
+    """Force device completion via a SCALAR element fetch: block_until_ready
+    on axon arrays can return without syncing (CLAUDE.md), and fetching the
+    full output would add MBs of tunnel transfer to the timed region."""
+    return np.asarray(x[(0,) * x.ndim])
 
 
 def _random_params(model, *args, dtype=jnp.bfloat16):
@@ -98,16 +106,14 @@ def run() -> float:
         return jax.random.normal(jax.random.key(i), (1, h, w, 16),
                                  jnp.float32)
 
-    e2e(mparams, te1_params, te2_params, vparams, ids,
-        fresh(0)).block_until_ready()
+    _sync(e2e(mparams, te1_params, te2_params, vparams, ids, fresh(0)))
 
     times = []
     for i in range(3):
         lat = fresh(i + 1)
-        lat.block_until_ready()
+        np.asarray(lat)
         t0 = time.perf_counter()
-        e2e(mparams, te1_params, te2_params, vparams, ids,
-            lat).block_until_ready()
+        _sync(e2e(mparams, te1_params, te2_params, vparams, ids, lat))
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -133,13 +139,13 @@ def run_t5_encode() -> float:
     def fresh(i):  # distinct ids per repeat (tunnel replay)
         return jax.random.randint(jax.random.key(i), (2, 77), 3, 32000)
 
-    encode(params, fresh(0), mask).block_until_ready()
+    _sync(encode(params, fresh(0), mask))
     times = []
     for i in range(3):
         ids = fresh(i + 1)
-        ids.block_until_ready()
+        np.asarray(ids)
         t0 = time.perf_counter()
-        encode(params, ids, mask).block_until_ready()
+        _sync(encode(params, ids, mask))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[1]

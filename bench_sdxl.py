@@ -16,6 +16,7 @@ from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 import jax.numpy as jnp
+import numpy as np
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
@@ -31,6 +32,13 @@ BASELINE_E2E_S = 20.0  # M2 Ultra, README.md:137
 # artifacts here dequantize at install (measured: in-program LUT dequant
 # is ~50x slower on TPU, CLAUDE.md), so compressed serving speed == dense.
 BASELINE_768_E2E_S = 27.0
+
+
+def _sync(x):
+    """Force device completion via a SCALAR element fetch: block_until_ready
+    on axon arrays can return without syncing (CLAUDE.md), and fetching the
+    full output would add MBs of tunnel transfer to the timed region."""
+    return np.asarray(x[(0,) * x.ndim])
 
 
 def _random_params(model, *args, dtype=jnp.bfloat16):
@@ -118,14 +126,14 @@ def run(image_size: int = 1024, parity_upsample: bool | None = None) -> float:
     def fresh(i):
         return jax.random.normal(jax.random.key(i), (1, h, w, 4), jnp.float32)
 
-    e2e(uparams, te1_params, te2_params, vparams, ids, fresh(0)).block_until_ready()
+    _sync(e2e(uparams, te1_params, te2_params, vparams, ids, fresh(0)))
 
     times = []
     for i in range(3):
         lat = fresh(i + 1)
-        lat.block_until_ready()
+        np.asarray(lat)
         t0 = time.perf_counter()
-        e2e(uparams, te1_params, te2_params, vparams, ids, lat).block_until_ready()
+        _sync(e2e(uparams, te1_params, te2_params, vparams, ids, lat))
         times.append(time.perf_counter() - t0)
     return min(times)
 

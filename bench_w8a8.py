@@ -18,6 +18,7 @@ from ml_stable_diffusion_tpu.utils.cache import enable_persistent_cache
 enable_persistent_cache()
 
 import jax.numpy as jnp
+import numpy as np
 
 from ml_stable_diffusion_tpu.utils.compile import sdtpu_jit
 from ml_stable_diffusion_tpu.compress.w8a8 import (
@@ -95,13 +96,13 @@ def run(include_convs: bool = False) -> float:
         return jax.random.normal(jax.random.key(100 + i), (1, h, w, 4),
                                  jnp.float32)
 
-    denoise(params, int8_w, fresh(0), context).block_until_ready()
+    np.asarray(denoise(params, int8_w, fresh(0), context))
     times = []
     for i in range(3):
         lat = fresh(i + 1)
-        lat.block_until_ready()
+        np.asarray(lat)
         t = time.perf_counter()
-        denoise(params, int8_w, lat, context).block_until_ready()
+        np.asarray(denoise(params, int8_w, lat, context))
         times.append(time.perf_counter() - t)
     return STEPS / min(times)
 

@@ -211,6 +211,10 @@ class StableDiffusionPipeline:
         self.int8_weights = quantize_tree_dense_int8(
             self.unet_params, min_size=min_size, skip_patterns=skip_patterns,
             include_convs=include_convs)
+        # rebuild containers before deleting: the tree may be (and in the
+        # bench rigs IS) shared with the caller — in-place deletion would
+        # corrupt every other consumer of the same params object
+        self.unet_params = jax.tree.map(lambda x: x, self.unet_params)
         for path in self.int8_weights:
             node = self.unet_params
             for part in path.split("/"):

@@ -225,3 +225,26 @@ def test_serve_preset_w8a8_deepcache_batching_compose(tmp_path):
                                    rtol=1e-3, atol=1e-3)
     finally:
         server.shutdown()
+
+
+def test_enable_w8a8_does_not_mutate_caller_tree(tmp_path):
+    """enable_w8a8 removes quantized kernels from ITS OWN params tree only:
+    a caller-shared tree must keep every kernel (r5 bug: the bench rigs
+    share one tree across pipelines; in-place deletion corrupted every
+    downstream consumer)."""
+    import jax
+
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+    model, params = tiny_unet()
+    before = {"/".join(str(k.key) for k in p)
+              for p, _ in jax.tree_util.tree_leaves_with_path(params)}
+    dec, _ = tiny_vae()
+    pipe = StableDiffusionPipeline(tokenizer=tiny_tokenizer(tmp_path),
+                                   text_encoder=tiny_text_encoder(),
+                                   unet=(model, params), vae_decoder=dec)
+    pipe.enable_w8a8(min_size=1)
+    assert pipe.int8_weights  # something actually quantized
+    after = {"/".join(str(k.key) for k in p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(params)}
+    assert after == before  # caller's tree untouched
