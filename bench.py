@@ -480,7 +480,14 @@ def bench_serve_preset(parts) -> dict:
     #6: max_batch=4 was keyed to one dense-bf16 measurement).
 
     Two presets: quality (20-step DPM++, CFG) and turbo (LCM 4-step,
-    guidance-free), the production pairing for each latency class."""
+    guidance-free), the production pairing for each latency class.
+
+    Interpretation: these count the FULL request (text encode + denoise +
+    VAE decode + host image fetch), unlike the denoise-only serve_batchN
+    rows.  Through this dev tunnel the image fetch is ~90 ms/image, so
+    sustained images/s understates production throughput; direct-path
+    probes (r5) show the W8A8+DeepCache speedups themselves compose
+    multiplicatively (0.33 s single, 2.26 s batch-8)."""
     import dataclasses as _dc
 
     from ml_stable_diffusion_tpu.pipelines import PipelineConfiguration
