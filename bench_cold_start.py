@@ -132,7 +132,11 @@ def child(cache_dir: str, artifact_dir: str, seed: int) -> None:
 
 def _run_child(cache_dir: str, seed: int, timeout_s: float) -> dict:
     art = ensure_artifacts()
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    # Inherit the env UNCHANGED: on this image PYTHONPATH=/root/.axon_site
+    # is precisely how the axon PJRT plugin registers (sitecustomize.py
+    # lives there) — stripping it makes the child fail with "Backend
+    # 'axon' is not in the list of known backends".
+    env = dict(os.environ)
     t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, __file__, "child", cache_dir, str(art), str(seed)],
