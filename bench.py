@@ -604,12 +604,14 @@ def bench_cold_start_extra() -> dict:
     start, measured by ``bench_cold_start.py`` via fresh subprocesses
     against a converted artifact bundle.
 
-    The axon tunnel is SINGLE-CLIENT: a child process cannot initialize
-    the backend while bench.py holds the chip (measured r5: the child dies
-    in apply_primitive with 'Unable to initialize backend'), so the live
-    measurement only works standalone — ``python bench_cold_start.py``
-    records its result to ``bench_coldstart_recorded.json`` (committed);
-    this extra reports that recording with provenance."""
+    The axon tunnel is SINGLE-CLIENT for execution (measured r5: a second
+    process initializes the platform but its first dispatch blocks until
+    the holder exits), so the live measurement only works standalone —
+    ``python bench_cold_start.py`` records its result to
+    ``bench_coldstart_recorded.json`` (committed); this extra reports that
+    recording with provenance. (An earlier r5 diagnosis blamed a child
+    'Unable to initialize backend' error on this; that error was actually
+    a stripped PYTHONPATH — see bench_cold_start.py.)"""
     import pathlib
 
     rec = pathlib.Path(__file__).resolve().parent / \
