@@ -731,6 +731,9 @@ def main():
             ("raw_scan", lambda: {"raw_scan_iter_s":
                                   round(bench_sd21(parts), 3)}),
             ("tunnel_sanity", lambda: bench_tunnel_sanity(parts)),
+            # cheap (reads the committed recorded JSON) — run early so a
+            # budget exhaustion can't skip it
+            ("cold_start", bench_cold_start_extra),
             ("sdxl", bench_sdxl_extra),
             ("sd3", bench_sd3_extra),
             ("w8a8", bench_w8a8_extra),
@@ -745,9 +748,6 @@ def main():
             ("sdxl768", bench_sdxl768_extra),
             ("sdxl_deepcache_quality", bench_sdxl_deepcache_quality),
             ("palettized6", lambda: bench_palettized6(parts)),
-            # LAST: its warm subprocess costs minutes through the tunnel
-            # and its cold path only engages with a long wall budget
-            ("cold_start", bench_cold_start_extra),
         ]
         if run_once is None:
             extras = [(n, f) for n, f in extras
