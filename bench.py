@@ -374,7 +374,15 @@ def bench_sdxl_deepcache_quality() -> dict:
 def bench_lcm(run_once) -> dict:
     """Few-step serving: LCM 4-step generation through the same pipeline
     (the production pairing is apply_lora on an LCM-LoRA; speed is
-    weight-value independent)."""
+    weight-value independent).
+
+    Accounting note (r5): run_once now syncs via a HOST IMAGE FETCH
+    (d4ab544 — axon block_until_ready can return without syncing), which
+    adds ~35-40 ms for the 0.75 MB 512x512 image through this dev tunnel.
+    At 4 steps that is a large relative share, so this row reads ~1.5x
+    slower than the r4 artifact (69 -> ~106 ms) with NO device-side
+    regression — batch-8 images/s (amortized fetch) improved in the same
+    run.  On production PCIe hosts the fetch is ~1 ms."""
     def run(i):
         return run_once(i, steps=4, scheduler="LCM", guidance=1.0)
 
@@ -739,14 +747,17 @@ def main():
             ("w8a8", bench_w8a8_extra),
             ("deepcache", lambda: bench_deepcache(run_once, headline)),
             ("deepcache_quality", lambda: bench_deepcache_quality(parts)),
+            # the r5-mandated deliverables run BEFORE rows whose values the
+            # r4 artifact already proves (lcm/batch4/batch8): a budget
+            # exhaustion must cost known numbers, not new ones
+            ("serve_preset", lambda: bench_serve_preset(parts)),
+            ("sdxl_deepcache_quality", bench_sdxl_deepcache_quality),
             ("lcm", lambda: bench_lcm(run_once)),
             ("lcm_batch8", lambda: bench_lcm_batched(run_once)),
             ("batch4", lambda: bench_batch(parts, headline, 4)),
             ("batch8", lambda: bench_batch(parts, headline, 8)),
-            ("serve_preset", lambda: bench_serve_preset(parts)),
             ("pipeline_slope", lambda: bench_pipeline_slope(run_once)),
             ("sdxl768", bench_sdxl768_extra),
-            ("sdxl_deepcache_quality", bench_sdxl_deepcache_quality),
             ("palettized6", lambda: bench_palettized6(parts)),
         ]
         if run_once is None:
