@@ -820,17 +820,23 @@ class StableDiffusionPipeline:
             if batch_one:
                 raise ValueError("deepcache_interval > 1 is incompatible "
                                  "with unet_batch_one (serial CFG parity)")
-            if cfg.step_count > 1 and dc >= cfg.step_count:
-                # interval >= steps degenerates to one full pass followed
-                # by all-shallow steps reusing a single stale deep feature
-                # (a 1-step run is trivially exact, so it stays allowed;
-                # gate on the user-facing step_count, not plan.num_steps —
-                # PNDM warmup expands the plan by one)
+            # interval >= steps degenerates to one full pass followed by
+            # all-shallow steps reusing a single stale deep feature.  The
+            # cache resets at every phase boundary (a phase's first step
+            # always runs the deep UNet), so the degeneracy is bounded by
+            # the LONGEST PHASE: a base->refiner split of 1-step phases is
+            # trivially exact at any interval.  Single-phase runs gate on
+            # the user-facing step_count, not plan.num_steps — PNDM warmup
+            # expands the plan by one.
+            longest = (cfg.step_count if len(phases) == 1
+                       else max(e - s for s, e, _ in phases))
+            if longest > 1 and dc >= longest:
                 raise ValueError(
                     f"deepcache_interval ({dc}) must be < step_count "
-                    f"({cfg.step_count}): at interval >= steps only the "
-                    "first step runs the deep UNet and every later step "
-                    "reuses its stale deep features")
+                    f"(longest denoise phase: {longest} steps): at "
+                    "interval >= phase length only the phase's first step "
+                    "runs the deep UNet and every later step reuses its "
+                    "stale deep features")
 
         # fully-distilled LCM checkpoints embed the guidance scale as a
         # conditioning input instead of CFG (diffusers LCM pipeline feeds
