@@ -192,3 +192,19 @@ def test_xl_deepcache_with_refiner(xl_pipe):
     full = xl_pipe.generate_images(_cfg(seed=9, refiner_start=0.6),
                                    image_hw=(64, 64))
     assert np.abs(a.latents - full.latents).max() > 1e-6
+
+
+def test_xl_deepcache_interval_gates_on_longest_phase(xl_pipe):
+    """The degeneracy guard bounds the interval by the LONGEST PHASE (the
+    cache resets at the base->refiner boundary), not the global step
+    count: a 2+2 split rejects interval 2 (each phase would run one full
+    step then all-shallow) exactly like a single-phase 2-step run does.
+    Raises before program build, so this costs no compile."""
+    with pytest.raises(ValueError, match="longest denoise phase"):
+        xl_pipe.generate_images(
+            _cfg(step_count=4, refiner_start=0.5, deepcache_interval=2),
+            image_hw=(64, 64))
+    with pytest.raises(ValueError, match="longest denoise phase"):
+        xl_pipe.generate_images(
+            _cfg(step_count=4, refiner_start=0.5, deepcache_interval=9),
+            image_hw=(64, 64))
