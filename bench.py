@@ -17,13 +17,17 @@ which is exactly what happened in round 3):
 1. The headline JSON line is printed (flushed) the moment it is known.
 2. Extras (raw scan, 40-step slope, LCM, dynamic batching, palettized,
    W8A8, SDXL, SD3) then run under a wall-clock budget
-   (``SDTPU_BENCH_BUDGET_S``, default 1200 s from process start); extras
+   (``SDTPU_BENCH_BUDGET_S``, default 1800 s from process start); extras
    that don't fit are recorded in ``extra.skipped_extras``.
-3. ONE final enriched JSON line is printed at the end.
+3. The enriched JSON line is RE-PRINTED (flushed) after EVERY completed
+   extra — so an external kill at any point loses at most the extra in
+   flight, never completed ones (r5: the final-line-only protocol meant
+   a driver timeout inside extras dropped all of them).
+4. The last line adds ``skipped_extras`` on budget exhaustion.
 
 A consumer that tails the output and parses the LAST JSON line gets the
-enriched record on success and the bare headline on timeout.  Set
-SDTPU_BENCH_EXTRAS=0 to skip extras entirely.
+most-enriched record available at any kill point and the bare headline at
+worst.  Set SDTPU_BENCH_EXTRAS=0 to skip extras entirely.
 """
 
 import json
@@ -48,7 +52,7 @@ from ml_stable_diffusion_tpu.schedulers import DPMSolverMultistepScheduler
 BASELINE_ITERS_PER_S = 3.07  # iPad Pro M2, reference README.md:74
 STEPS = 20
 GUIDANCE = 7.5
-BUDGET_S = float(os.environ.get("SDTPU_BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("SDTPU_BENCH_BUDGET_S", "1800"))
 
 
 def _elapsed() -> float:
@@ -683,7 +687,10 @@ def regression_guard(headline: float, extra: dict) -> dict:
     if pv > 0:
         ratio = headline / pv
         out["headline_vs_prev"] = round(ratio, 3)
-        if ratio < 0.90:  # 5% regression + 5% tunnel noise
+        if ratio < 0.90 and not getattr(regression_guard, "_warned", False):
+            # 5% regression + 5% tunnel noise; warn once (this function
+            # now runs at every incremental emit)
+            regression_guard._warned = True
             print(f"WARNING: headline {headline:.2f} is "
                   f"{(1 - ratio) * 100:.1f}% below {out['prev_artifact']} "
                   f"({pv:.2f}) — beyond tunnel noise", flush=True)
@@ -765,6 +772,17 @@ def main():
                       if n not in ("lcm", "lcm_batch8", "pipeline_slope",
                                    "deepcache", "deepcache_quality")]
 
+    def emit():
+        """Flush the enriched line NOW: an external kill later loses only
+        the extra in flight, never completed ones."""
+        merged = dict(extra)
+        try:
+            merged.update(regression_guard(headline, extra))
+        except Exception as e:
+            merged["regression_guard_error"] = f"{type(e).__name__}: {e}"[:200]
+        payload["extra"] = merged
+        print(json.dumps(payload), flush=True)
+
     skipped = []
     for name, fn in extras:
         if _elapsed() > BUDGET_S:
@@ -774,17 +792,13 @@ def main():
             extra.update(fn())
         except Exception as e:  # never lose the headline metric
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
     if skipped:
         extra["skipped_extras"] = skipped
         extra["budget_s"] = BUDGET_S
-
-    try:
-        extra.update(regression_guard(headline, extra))
-    except Exception as e:
-        extra["regression_guard_error"] = f"{type(e).__name__}: {e}"[:200]
-
-    payload["extra"] = extra
-    print(json.dumps(payload), flush=True)
+        emit()
+    if not extras:  # extras disabled: still emit one enriched line
+        emit()
 
 
 if __name__ == "__main__":
