@@ -359,14 +359,14 @@ def bench_sdxl_deepcache_quality() -> dict:
     _, ref_lat, ref_img = run(1)
     out = {}
     for n in (2, 3):
-        run(n)  # warmup/compile
+        # warmup/compile at the shared fixed seed — deterministic, so its
+        # outputs ARE the PSNR measurement (no third run needed)
+        _, lat, img = run(n)
         times = []
         for i in range(2):
-            dt, lat, img = run(n, seed=5000 + 10 * n + i,
-                               prompt=PROMPTS[(n + i) % len(PROMPTS)])
+            dt, _, _ = run(n, seed=5000 + 10 * n + i,
+                           prompt=PROMPTS[(n + i) % len(PROMPTS)])
             times.append(dt)
-        # PSNR at the shared fixed seed
-        _, lat, img = run(n)
         out[f"sdxl_deepcache{n}_psnr_db"] = round(
             compute_psnr(ref_lat, lat), 1)
         out[f"sdxl_deepcache{n}_img_psnr_db"] = round(
@@ -657,7 +657,12 @@ def bench_sd3_extra() -> dict:
 
 def _prev_artifact() -> dict | None:
     """Newest committed BENCH_rNN.json (driver format: headline under
-    'parsed') — the regression baseline.  Returns its parsed payload."""
+    'parsed') — the regression baseline.  Returns its parsed payload.
+
+    Deliberately DRIVER artifacts only (glob excludes
+    BENCH_builder_r05.json): the guard compares like-for-like runs from
+    the driver's environment; builder records can overlap other load on
+    this 1-core host."""
     import glob
     import pathlib
 

@@ -58,7 +58,12 @@ def run(include_convs: bool = False) -> float:
 
     import sys
 
-    int8_w = quantize_tree_dense_int8(params, include_convs=include_convs)
+    # skip the fused upsampler kernels: FusedUpsampleConv (the default
+    # upsampler) is not an nn.Conv, so the serving interceptor can't
+    # execute it as int8 — quantizing it would ship unused int8 copies as
+    # program arguments and overstate the counted conv coverage
+    int8_w = quantize_tree_dense_int8(params, include_convs=include_convs,
+                                      skip_patterns=("upsamplers_0",))
     n_conv = sum(1 for wq, _ in int8_w.values() if wq.ndim == 4)
     # stderr: bench.py's stdout must stay ONE JSON line for the driver
     print(f"# int8 layers: {len(int8_w)} ({n_conv} convs)", file=sys.stderr)

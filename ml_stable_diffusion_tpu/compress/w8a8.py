@@ -201,11 +201,12 @@ def w8a8_serving_interceptor(act_scales: dict[str, float],
     fake-quant simulation used for sensitivity analysis.  Conv coverage
     halves the conv weight HBM traffic (the bandwidth-bound UNet's largest
     remaining term after the dense W8A8 pass)."""
+    from ..models.unet import _Conv1x1
     from ..ops.int8 import int8_conv, int8_dense
 
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
-        if (isinstance(m, (nn.Dense, nn.Conv))
+        if (isinstance(m, (nn.Dense, nn.Conv, _Conv1x1))
                 and context.method_name == "__call__" and args):
             key = _path_str(m)
             if (key in int8_weights and key in act_scales
@@ -214,6 +215,8 @@ def w8a8_serving_interceptor(act_scales: dict[str, float],
                 x = args[0]
                 if isinstance(m, nn.Dense):
                     expected = (x.shape[-1], m.features)
+                elif isinstance(m, _Conv1x1):
+                    expected = (1, 1, x.shape[-1], m.features)
                 else:
                     expected = tuple(m.kernel_size) + (
                         x.shape[-1] // m.feature_group_count, m.features)
@@ -221,6 +224,13 @@ def w8a8_serving_interceptor(act_scales: dict[str, float],
                     # path collision with a different model's module (VAE and
                     # UNet both have up_blocks_0/... paths) — not ours
                     return next_fun(*args, **kwargs)
+                if isinstance(m, _Conv1x1):
+                    # the dot-form 1x1 shortcut conv (unet.py _Conv1x1) IS
+                    # a dense matmul — serve it on the int8 dense path
+                    # ((1,1,K,N) kernel, per-out-channel scale)
+                    return int8_dense(x, wq[0, 0], wscale,
+                                      act_scales[key],
+                                      bias=m.variables["params"].get("bias"))
                 bias = (m.variables["params"].get("bias")
                         if m.use_bias else None)
                 if isinstance(m, nn.Dense):

@@ -419,7 +419,9 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.fused:
+        # explicit parity=True (ablation flag) takes precedence over the
+        # fused DEFAULT — see models/vae.py
+        if not self.parity and self.fused:
             # one lhs-dilated conv; the measured winner at 1024^2 decode
             # (87.8 -> 69.3 ms, models/vae.py FusedUpsampleConv docstring)
             from .vae import FusedUpsampleConv

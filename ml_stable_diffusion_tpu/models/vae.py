@@ -297,12 +297,15 @@ class VAEDecoder(nn.Module):
                                    name=f"up_blocks_{bi}_resnets_{li}")(h)
             if bi < len(rev) - 1:
                 name = f"up_blocks_{bi}_upsamplers_0_conv"
-                if self.fused_upsample:
-                    h = FusedUpsampleConv(out_ch, dtype=self.dtype,
-                                          name=name)(h)
-                elif self.parity_upsample:
+                # explicit parity_upsample=True (an ablation flag) takes
+                # precedence over the fused DEFAULT — otherwise the parity
+                # ablation silently measures the fused path
+                if self.parity_upsample:
                     h = ParityUpsampleConv(out_ch, dtype=self.dtype,
                                            name=name)(h)
+                elif self.fused_upsample:
+                    h = FusedUpsampleConv(out_ch, dtype=self.dtype,
+                                          name=name)(h)
                 else:
                     h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                     h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,

@@ -205,12 +205,28 @@ class StableDiffusionPipeline:
 
         if skip_patterns is None:
             skip_patterns = DEFAULT_SKIP_PATTERNS
+        skip_patterns = tuple(skip_patterns)
+        if include_convs and (
+                getattr(self.unet.config, "fused_upsample", False)
+                or getattr(self.unet.config, "parity_upsample", False)):
+            # Fused/ParityUpsampleConv are not nn.Conv: the serving
+            # interceptor cannot execute them as int8, so quantizing (and
+            # deleting) their kernels would fail the next program build
+            # with a missing-param error.  With fused upsamplers (the
+            # default) the upsampler kernels stay dense bf16.
+            skip_patterns += ("upsamplers_0",)
         self.int8_act_scales = (ConstantScales() if act_scales is None
                                 else act_scales)
         self.int8_skip_patterns = tuple(skip_patterns)
         self.int8_weights = quantize_tree_dense_int8(
             self.unet_params, min_size=min_size, skip_patterns=skip_patterns,
             include_convs=include_convs)
+        # only keep entries the interceptor will actually SERVE: a
+        # calibrated act_scales dict may lack a path (e.g. a module type
+        # the calibration pass didn't hook) — deleting that dense kernel
+        # would fail the next program build with a missing param
+        self.int8_weights = {k: v for k, v in self.int8_weights.items()
+                             if k in self.int8_act_scales}
         # rebuild containers before deleting: the tree may be (and in the
         # bench rigs IS) shared with the caller — in-place deletion would
         # corrupt every other consumer of the same params object
@@ -826,9 +842,13 @@ class StableDiffusionPipeline:
             # always runs the deep UNet), so the degeneracy is bounded by
             # the LONGEST PHASE: a base->refiner split of 1-step phases is
             # trivially exact at any interval.  Single-phase runs gate on
-            # the user-facing step_count, not plan.num_steps — PNDM warmup
-            # expands the plan by one.
-            longest = (cfg.step_count if len(phases) == 1
+            # min(step_count, plan.num_steps): the min keeps PNDM's
+            # warmup-expanded plan (num_steps = step_count + 1) gated on
+            # the user-facing count, while catching img2img strength
+            # truncation (strength 0.1 executes ~2 of 20 requested steps —
+            # gating on raw step_count would re-admit the degeneracy).
+            longest = (min(cfg.step_count, plan.num_steps)
+                       if len(phases) == 1
                        else max(e - s for s, e, _ in phases))
             if longest > 1 and dc >= longest:
                 raise ValueError(

@@ -304,6 +304,39 @@ def test_pipeline_enable_w8a8_end_to_end(tmp_path):
     assert np.abs(out - ref).max() > 1e-6
 
 
+def test_enable_w8a8_include_convs_skips_fused_upsamplers(tmp_path):
+    """include_convs=True with the fused_upsample default: the upsampler
+    kernels must stay dense (FusedUpsampleConv is not an nn.Conv, so the
+    serving interceptor can't execute it as int8 — quantizing and deleting
+    its kernel crashed the next program build, review r5)."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).parent))
+    from helpers import tiny_text_encoder, tiny_tokenizer, tiny_unet, tiny_vae
+
+    from ml_stable_diffusion_tpu.pipelines import (
+        PipelineConfiguration,
+        StableDiffusionPipeline,
+    )
+
+    unet_model, unet_params = tiny_unet()
+    assert unet_model.config.fused_upsample  # the default under test
+    dec, enc = tiny_vae()
+    pipe = StableDiffusionPipeline(
+        tokenizer=tiny_tokenizer(tmp_path), text_encoder=tiny_text_encoder(),
+        unet=(unet_model, unet_params), vae_decoder=dec, vae_encoder=enc)
+    pipe.enable_w8a8(min_size=1, skip_patterns=(), include_convs=True)
+    assert pipe.int8_weights
+    assert not any("upsamplers_0" in p for p in pipe.int8_weights)
+    # the dot-form 1x1 shortcut convs (_Conv1x1) ARE served, as int8 dense
+    assert any("conv_shortcut" in p for p in pipe.int8_weights)
+    cfg = PipelineConfiguration(prompt="cat", step_count=2, seed=0,
+                                scheduler="DDIM", disable_safety=True)
+    out = pipe.generate_images(cfg, image_hw=(64, 64)).latents
+    assert np.isfinite(out).all()
+
+
 def test_w8a8_serving_interceptor_matches_simulation(toy):
     from ml_stable_diffusion_tpu.compress.w8a8 import (
         quantizable_dense_paths,

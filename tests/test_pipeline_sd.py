@@ -235,6 +235,14 @@ def test_deepcache(pipe):
     with pytest.raises(ValueError, match="must be < step_count"):
         pipe.generate_images(_cfg(step_count=2, deepcache_interval=5),
                              image_hw=HW)
+    # img2img: strength truncates the EXECUTED plan (strength 0.2 of 10
+    # requested steps executes ~2) — the guard must gate on the executed
+    # length, not the requested step_count (review r5)
+    img = np.zeros((64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="longest denoise phase"):
+        pipe.generate_images(
+            _cfg(step_count=10, deepcache_interval=5,
+                 starting_image=img, strength=0.2), image_hw=HW)
 
 
 def test_deepcache_reduce_memory_matches_full_program(pipe):

@@ -212,6 +212,28 @@ def test_parity_upsample_matches_repeat_conv():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_parity_flag_overrides_fused_default():
+    """An explicit parity_upsample=True must actually run the parity path
+    even though fused_upsample defaults True (review r5: the fused branch
+    shadowed it, so the parity ABLATION silently measured the fused path).
+    The parity decomposition traces 4 convs per upsampler vs 1 fused —
+    distinguishable in the jaxpr."""
+    cfg = VAEConfig(block_out_channels=(8, 8), layers_per_block=1,
+                    norm_num_groups=4)
+    z = jnp.zeros((1, 6, 5, 4), np.float32)
+
+    def n_convs(dec):
+        params = jax.eval_shape(
+            lambda k: dec.init(k, z), jax.random.key(0))["params"]
+        jaxpr = jax.make_jaxpr(
+            lambda p, z: dec.apply({"params": p}, z))(params, z)
+        return str(jaxpr).count("conv_general_dilated")
+
+    fused = n_convs(VAEDecoder(cfg))  # fused default on
+    parity = n_convs(VAEDecoder(cfg, parity_upsample=True))
+    assert parity == fused + 3  # 4 parity convs replace the 1 fused conv
+
+
 def test_fused_upsample_matches_repeat_conv():
     """FusedUpsampleConv (one lhs-dilated conv with the W*ones(2,2)
     composed 4x4 kernel) is the same function as repeat(2,2) + SAME
